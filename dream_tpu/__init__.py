@@ -1,0 +1,62 @@
+"""dream_tpu: TPU-native camera-to-robot pose estimation framework.
+
+A ground-up JAX/XLA/Pallas re-design of the capabilities of NVlabs/DREAM
+(reference: /root/reference): per-keypoint belief-map regression from a single
+RGB image of a robot manipulator, keypoint peak extraction, and PnP pose
+recovery -- all running end-to-end on device as jitted array programs.
+
+Layering (bottom to top), mirroring the reference's layer map
+(reference README.md:3-5, dream/__init__.py:1-9) but TPU-first:
+
+- ``dream_tpu.utils``     -- config, NDDS dataset IO, resolution algebra
+- ``dream_tpu.ops``       -- pure-jnp/Pallas kernels: belief maps, peak
+                             extraction, coordinate transforms, PnP, soft-argmax
+- ``dream_tpu.models``    -- flax model zoo (hourglass VGG, ResNet, DOPE)
+- ``dream_tpu.parallel``  -- mesh/sharding helpers (replaces DataParallel)
+- ``dream_tpu.data``      -- NDDS dataset pipeline + on-device augmentation
+- ``dream_tpu.network``   -- config-driven network facade (DreamNetwork)
+- ``dream_tpu.analysis``  -- PCK/ADD metrics, dataset evaluation, reports
+"""
+
+__version__ = "0.1.0"
+
+from dream_tpu.utils import resolutions as resolutions
+from dream_tpu.utils.resolutions import (
+    KNOWN_IMAGE_PREPROC_TYPES,
+    resolution_after_preprocessing,
+    shrink_resolution,
+    shrink_and_crop_resolution,
+)
+from dream_tpu import ops as ops
+from dream_tpu import utils as utilities
+
+KNOWN_ARCHITECTURES = ["vgg", "resnet"]
+KNOWN_OPTIMIZERS = ["adam", "sgd"]
+
+
+def __getattr__(name):
+    # Lazy imports keep `import dream_tpu` light (no flax/model import cost for
+    # pure ops users) while still exposing the full facade, mirroring the
+    # reference's star-exports (reference dream/__init__.py:3-9).
+    if name in ("network", "DreamNetwork", "create_network_from_config_file",
+                "create_network_from_config_data"):
+        from dream_tpu import network as _network
+        if name == "network":
+            return _network
+        return getattr(_network, name)
+    if name == "models":
+        from dream_tpu import models as _models
+        return _models
+    if name == "datasets":
+        from dream_tpu import data as _data
+        return _data
+    if name == "analysis":
+        from dream_tpu import analysis as _analysis
+        return _analysis
+    if name == "image_proc":
+        from dream_tpu.ops import image_proc as _image_proc
+        return _image_proc
+    if name == "geometric_vision":
+        from dream_tpu.ops import geometric_vision as _gv
+        return _gv
+    raise AttributeError(f"module 'dream_tpu' has no attribute '{name}'")
