@@ -38,25 +38,19 @@ def __getattr__(name):
     # Lazy imports keep `import dream_tpu` light (no flax/model import cost for
     # pure ops users) while still exposing the full facade, mirroring the
     # reference's star-exports (reference dream/__init__.py:3-9).
-    if name in ("network", "DreamNetwork", "create_network_from_config_file",
+    import importlib
+
+    lazy_modules = {
+        "network": "dream_tpu.network",
+        "models": "dream_tpu.models",
+        "datasets": "dream_tpu.data",
+        "analysis": "dream_tpu.analysis",
+        "image_proc": "dream_tpu.ops.image_proc",
+        "geometric_vision": "dream_tpu.ops.geometric_vision",
+    }
+    if name in lazy_modules:
+        return importlib.import_module(lazy_modules[name])
+    if name in ("DreamNetwork", "create_network_from_config_file",
                 "create_network_from_config_data"):
-        from dream_tpu import network as _network
-        if name == "network":
-            return _network
-        return getattr(_network, name)
-    if name == "models":
-        from dream_tpu import models as _models
-        return _models
-    if name == "datasets":
-        from dream_tpu import data as _data
-        return _data
-    if name == "analysis":
-        from dream_tpu import analysis as _analysis
-        return _analysis
-    if name == "image_proc":
-        from dream_tpu.ops import image_proc as _image_proc
-        return _image_proc
-    if name == "geometric_vision":
-        from dream_tpu.ops import geometric_vision as _gv
-        return _gv
+        return getattr(importlib.import_module("dream_tpu.network"), name)
     raise AttributeError(f"module 'dream_tpu' has no attribute '{name}'")
