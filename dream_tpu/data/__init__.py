@@ -1,0 +1,11 @@
+"""Data pipeline: NDDS datasets, on-device augmentation, synthetic fixtures."""
+
+from dream_tpu.data.dataset import (
+    ManipulatorNDDSDataset,
+    ManipulatorNDDSDatasetDebugLevels,
+    DataLoader,
+    make_batch_processor,
+    split_indices,
+)
+from dream_tpu.data.augment import AugmentConfig, DEFAULT_AUGMENT, augment_batch
+from dream_tpu.data.synthetic import generate_synthetic_ndds, DEFAULT_KEYPOINT_NAMES

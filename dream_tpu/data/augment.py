@@ -1,0 +1,145 @@
+"""On-device data augmentation with keypoint tracking.
+
+TPU-native replacement for the reference's per-sample host-side
+albumentations pipeline (reference dream/datasets.py:143-159: GaussNoise,
+RandomBrightnessContrast(brightness_by_max=False), ShiftScaleRotate
+(rotate_limit=15), keypoints tracked, remove_invisible=False).  Each
+augmentation is a batched jnp transform driven by an explicit jax PRNG key,
+so augmentation runs inside the jitted train step, is deterministic under the
+training seed, and never blocks the input pipeline.
+
+Parameter defaults mirror albumentations' defaults at the reference's pin:
+- GaussNoise: var_limit (10, 50) on the 0-255 scale, p=0.5
+- RandomBrightnessContrast: +/-0.2 brightness (relative to image mean) and
+  contrast, p=0.5
+- ShiftScaleRotate: shift +/-6.25%, scale +/-10%, rotate +/-15deg,
+  bilinear resample with reflect-101 border, p=0.5
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class AugmentConfig(NamedTuple):
+    gauss_noise_var_limit: Tuple[float, float] = (10.0, 50.0)
+    brightness_limit: float = 0.2
+    contrast_limit: float = 0.2
+    shift_limit: float = 0.0625
+    scale_limit: float = 0.1
+    rotate_limit_deg: float = 15.0
+    p_noise: float = 0.5
+    p_brightness_contrast: float = 0.5
+    p_shift_scale_rotate: float = 0.5
+
+
+DEFAULT_AUGMENT = AugmentConfig()
+
+
+def _gauss_noise(key, image, cfg: AugmentConfig):
+    k_apply, k_var, k_noise = jax.random.split(key, 3)
+    var = jax.random.uniform(
+        k_var, (), minval=cfg.gauss_noise_var_limit[0],
+        maxval=cfg.gauss_noise_var_limit[1],
+    )
+    noise = jax.random.normal(k_noise, image.shape) * jnp.sqrt(var)
+    apply = jax.random.bernoulli(k_apply, cfg.p_noise)
+    return jnp.where(apply, image + noise, image)
+
+
+def _brightness_contrast(key, image, cfg: AugmentConfig):
+    k_apply, k_b, k_c = jax.random.split(key, 3)
+    alpha = 1.0 + jax.random.uniform(
+        k_c, (), minval=-cfg.contrast_limit, maxval=cfg.contrast_limit
+    )
+    beta = jax.random.uniform(
+        k_b, (), minval=-cfg.brightness_limit, maxval=cfg.brightness_limit
+    )
+    mean = jnp.mean(image)
+    # brightness_by_max=False: beta scales the image mean (albumentations).
+    out = image * alpha + beta * mean
+    apply = jax.random.bernoulli(k_apply, cfg.p_brightness_contrast)
+    return jnp.where(apply, out, image)
+
+
+def _affine_matrix(key, height, width, cfg: AugmentConfig):
+    """2x3 forward affine (output<-input coords handled by inverse warp)."""
+    k_apply, k_ang, k_sc, k_dx, k_dy = jax.random.split(key, 5)
+    angle = jax.random.uniform(
+        k_ang, (), minval=-cfg.rotate_limit_deg, maxval=cfg.rotate_limit_deg
+    ) * (jnp.pi / 180.0)
+    scale = 1.0 + jax.random.uniform(
+        k_sc, (), minval=-cfg.scale_limit, maxval=cfg.scale_limit
+    )
+    dx = jax.random.uniform(k_dx, (), minval=-cfg.shift_limit, maxval=cfg.shift_limit) * width
+    dy = jax.random.uniform(k_dy, (), minval=-cfg.shift_limit, maxval=cfg.shift_limit) * height
+
+    apply = jax.random.bernoulli(k_apply, cfg.p_shift_scale_rotate)
+    angle = jnp.where(apply, angle, 0.0)
+    scale = jnp.where(apply, scale, 1.0)
+    dx = jnp.where(apply, dx, 0.0)
+    dy = jnp.where(apply, dy, 0.0)
+
+    cx, cy = (width - 1) / 2.0, (height - 1) / 2.0
+    cos, sin = jnp.cos(angle) * scale, jnp.sin(angle) * scale
+    # Rotation about center + translation (cv2.getRotationMatrix2D convention).
+    a = jnp.array(
+        [
+            [cos, sin, (1 - cos) * cx - sin * cy + dx],
+            [-sin, cos, sin * cx + (1 - cos) * cy + dy],
+        ]
+    )
+    return a
+
+
+def _warp_bilinear_reflect101(image, affine):
+    """Inverse-warp an [H, W, C] image by a forward 2x3 affine, bilinear taps
+    with reflect-101 ('mirror') border handling."""
+    h, w = image.shape[0], image.shape[1]
+    # Invert the forward affine to get input coords for each output pixel.
+    A = jnp.concatenate([affine, jnp.array([[0.0, 0.0, 1.0]])], axis=0)
+    Ainv = jnp.linalg.inv(A)
+    ys, xs = jnp.mgrid[0:h, 0:w]
+    ones = jnp.ones_like(xs)
+    coords = jnp.stack([xs, ys, ones], axis=0).reshape(3, -1).astype(jnp.float32)
+    src = Ainv @ coords
+    src_x = src[0].reshape(h, w)
+    src_y = src[1].reshape(h, w)
+    out = jax.vmap(
+        lambda ch: jax.scipy.ndimage.map_coordinates(
+            ch, [src_y, src_x], order=1, mode="mirror"
+        ),
+        in_axes=-1,
+        out_axes=-1,
+    )(image)
+    return out
+
+
+def _transform_keypoints(keypoints, affine):
+    kp_h = jnp.concatenate(
+        [keypoints, jnp.ones(keypoints.shape[:-1] + (1,))], axis=-1
+    )
+    return kp_h @ affine.T
+
+
+def augment_sample(key, image, keypoints, cfg: AugmentConfig = DEFAULT_AUGMENT):
+    """Augment one [H, W, C] 0-255 image + [n_kp, 2] pixel keypoints."""
+    k_noise, k_bc, k_aff = jax.random.split(key, 3)
+    h, w = image.shape[0], image.shape[1]
+    affine = _affine_matrix(k_aff, h, w, cfg)
+    image = _warp_bilinear_reflect101(image.astype(jnp.float32), affine)
+    keypoints = _transform_keypoints(keypoints, affine)
+    image = _brightness_contrast(k_bc, image, cfg)
+    image = _gauss_noise(k_noise, image, cfg)
+    return jnp.clip(image, 0.0, 255.0), keypoints
+
+
+def augment_batch(key, images, keypoints, cfg: AugmentConfig = DEFAULT_AUGMENT):
+    """vmapped :func:`augment_sample` over the batch dim."""
+    keys = jax.random.split(key, images.shape[0])
+    return jax.vmap(lambda k, im, kp: augment_sample(k, im, kp, cfg))(
+        keys, images, keypoints
+    )

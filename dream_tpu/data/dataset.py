@@ -1,0 +1,272 @@
+"""NDDS dataset pipeline: host decode only; everything else on device.
+
+The reference's pipeline does per-sample PIL preprocessing, host
+augmentation, and Python-loop belief-map synthesis inside DataLoader worker
+processes (reference dream/datasets.py:109-273) — the CPU hot spot called out
+in its training call stack.  The TPU-native split here is:
+
+- **host** (this module): JSON keypoint parsing (eager, once), JPEG/PNG
+  decode to raw-resolution uint8 arrays with a thread pool, shuffling,
+  batching, double-buffered prefetch;
+- **device** (:func:`make_batch_processor`): preprocessing, augmentation,
+  normalization, keypoint frame conversion, and GT belief-map synthesis fused
+  into one jitted function that runs as part of the train step.
+
+Debug levels mirror the reference's enum (reference dream/datasets.py:22-30).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import enum
+import functools
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dream_tpu.data.augment import AugmentConfig, DEFAULT_AUGMENT, augment_batch
+from dream_tpu.ops import coords as coord_ops
+from dream_tpu.ops.belief_maps import create_belief_maps
+from dream_tpu.ops.image_proc import normalize_images, preprocess_images
+from dream_tpu.utils import ndds as ndds_utils
+from dream_tpu.utils.resolutions import KNOWN_IMAGE_PREPROC_TYPES
+
+
+class ManipulatorNDDSDatasetDebugLevels(enum.IntEnum):
+    NONE = 0
+    LIGHT = 1
+    HEAVY = 2
+    INTERACTIVE = 3
+
+
+class ManipulatorNDDSDataset:
+    """Host-side index over an NDDS dataset.
+
+    Ctor signature mirrors the reference (reference dream/datasets.py:33-104)
+    minus torch specifics; the heavy lifting moved into
+    :func:`make_batch_processor`.
+    """
+
+    def __init__(
+        self,
+        ndds_dataset,
+        manipulator_name: str,
+        keypoint_names: Sequence[str],
+        network_input_resolution: Tuple[int, int],
+        network_output_resolution: Tuple[int, int],
+        image_normalization: Optional[dict] = None,
+        image_preprocessing: str = "shrink-and-crop",
+        augment_data: bool = False,
+        include_ground_truth: bool = True,
+        include_belief_maps: bool = False,
+        debug_mode: int = ManipulatorNDDSDatasetDebugLevels.NONE,
+        n_decode_threads: int = 8,
+    ):
+        if isinstance(ndds_dataset, str):
+            ndds_dataset = ndds_utils.find_ndds_data_in_dir(ndds_dataset)
+        self.ndds_dataset_data = ndds_dataset[0]
+        self.ndds_dataset_config = ndds_dataset[1]
+        self.manipulator_name = manipulator_name
+        self.keypoint_names = list(keypoint_names)
+        self.network_input_resolution = tuple(network_input_resolution)
+        self.network_output_resolution = tuple(network_output_resolution)
+        self.image_normalization = image_normalization
+        self.augment_data = augment_data
+        if include_belief_maps:
+            assert include_ground_truth, (
+                'If "include_belief_maps" is True, "include_ground_truth" must also be True.'
+            )
+        self.include_ground_truth = include_ground_truth
+        self.include_belief_maps = include_belief_maps
+        self.debug_mode = debug_mode
+        assert image_preprocessing in KNOWN_IMAGE_PREPROC_TYPES
+        self.image_preprocessing = image_preprocessing
+
+        self._decode_pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=n_decode_threads
+        )
+
+        # Eagerly parse all keypoint JSON (cheap relative to image decode,
+        # keeps the steady-state loop free of JSON work).
+        n = len(self.ndds_dataset_data)
+        n_kp = len(self.keypoint_names)
+        self.kp_projs_raw = np.zeros((n, n_kp, 2), dtype=np.float32)
+        self.kp_positions = np.zeros((n, n_kp, 3), dtype=np.float32)
+        if include_ground_truth:
+            for i, datum in enumerate(self.ndds_dataset_data):
+                kp = ndds_utils.load_keypoints(
+                    datum["data_path"], manipulator_name, self.keypoint_names
+                )
+                self.kp_projs_raw[i] = np.asarray(kp["projections"], dtype=np.float32)
+                self.kp_positions[i] = np.asarray(
+                    kp["positions_wrt_cam"], dtype=np.float32
+                )
+
+        # Raw image resolution from camera config (fallback: first image).
+        if self.ndds_dataset_config and self.ndds_dataset_config.get("camera"):
+            self.image_raw_resolution = ndds_utils.load_image_resolution(
+                self.ndds_dataset_config["camera"]
+            )
+        else:
+            im = self._decode(0)
+            self.image_raw_resolution = (im.shape[1], im.shape[0])
+
+    def __len__(self) -> int:
+        return len(self.ndds_dataset_data)
+
+    def _decode(self, index: int) -> np.ndarray:
+        from PIL import Image
+
+        path = self.ndds_dataset_data[index]["image_paths"]["rgb"]
+        with Image.open(path) as im:
+            return np.asarray(im.convert("RGB"), dtype=np.uint8)
+
+    def load_images(self, indices: Sequence[int]) -> np.ndarray:
+        """Threaded decode of a batch of raw-resolution uint8 images."""
+        images = list(self._decode_pool.map(self._decode, indices))
+        return np.stack(images)
+
+    def host_batch(self, indices: Sequence[int]) -> Dict[str, np.ndarray]:
+        """Everything the device transform needs, as host numpy arrays."""
+        batch = {
+            "image_rgb_raw": self.load_images(indices),
+            "indices": np.asarray(indices, dtype=np.int32),
+        }
+        if self.include_ground_truth:
+            batch["keypoint_projections_raw"] = self.kp_projs_raw[indices]
+            batch["keypoint_positions"] = self.kp_positions[indices]
+        return batch
+
+    def sample_names(self, indices: Sequence[int]) -> List[str]:
+        return [self.ndds_dataset_data[i]["name"] for i in indices]
+
+
+def make_batch_processor(
+    image_raw_resolution: Tuple[int, int],
+    network_input_resolution: Tuple[int, int],
+    network_output_resolution: Tuple[int, int],
+    image_preprocessing: str,
+    image_normalization: Optional[dict],
+    augment: bool = False,
+    augment_config: AugmentConfig = DEFAULT_AUGMENT,
+    include_belief_maps: bool = True,
+):
+    """Build the jitted device-side batch transform.
+
+    Returns ``process(key, image_rgb_raw_u8, kp_projs_raw) -> dict`` with
+    ``image_rgb_input`` (normalized net input, NHWC),
+    ``keypoint_projections_output`` (netout frame) and optionally
+    ``belief_maps`` ``[B, n_kp, h, w]``.
+    """
+    to_netin = coord_ops.affine_netin_from_raw(
+        image_raw_resolution, network_input_resolution, image_preprocessing
+    )
+    to_netout = coord_ops.affine_netout_from_netin(
+        network_input_resolution, network_output_resolution
+    )
+
+    @jax.jit
+    def process(key, image_rgb_raw, kp_projs_raw):
+        images = preprocess_images(
+            image_rgb_raw, network_input_resolution, image_preprocessing
+        )  # float32, 0-255 scale
+        kp_netin = to_netin(kp_projs_raw)
+        if augment:
+            images, kp_netin = augment_batch(key, images, kp_netin, augment_config)
+        if image_normalization:
+            net_input = normalize_images(
+                images,
+                image_normalization["mean"],
+                image_normalization["stdev"],
+            )
+        else:
+            net_input = images / 255.0
+        kp_netout = to_netout(kp_netin)
+        out = {
+            "image_rgb_input": net_input,
+            "keypoint_projections_input": kp_netin,
+            "keypoint_projections_output": kp_netout,
+        }
+        if include_belief_maps:
+            out["belief_maps"] = create_belief_maps(
+                kp_netout, network_output_resolution
+            )
+        return out
+
+    return process
+
+
+class DataLoader:
+    """Shuffling, batching, double-buffered prefetch iterator.
+
+    Replaces torch DataLoader worker processes (reference
+    scripts/train_network.py:448-454) with a single background thread that
+    decodes batch N+1 while the device runs step N — sufficient because decode
+    is the only host work left.
+    """
+
+    def __init__(
+        self,
+        dataset: ManipulatorNDDSDataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        indices: Optional[Sequence[int]] = None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.indices = (
+            np.asarray(indices, dtype=np.int64)
+            if indices is not None
+            else np.arange(len(dataset), dtype=np.int64)
+        )
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.indices)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    def _batches(self) -> List[np.ndarray]:
+        order = self.indices.copy()
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self._epoch)
+            rng.shuffle(order)
+        n_batches = len(self)
+        return [
+            order[i * self.batch_size : (i + 1) * self.batch_size]
+            for i in range(n_batches)
+        ]
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        batches = self._batches()
+        if not batches:
+            return
+        pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        future = pool.submit(self.dataset.host_batch, batches[0])
+        for i in range(len(batches)):
+            batch = future.result()
+            if i + 1 < len(batches):
+                future = pool.submit(self.dataset.host_batch, batches[i + 1])
+            yield batch
+        pool.shutdown(wait=False)
+
+
+def split_indices(
+    n: int, training_fraction: float, seed: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Seed-pinned train/valid split (the reference reproduces its split on
+    resume by reusing the logged seed, scripts/train_network.py:134,444)."""
+    rng = np.random.RandomState(seed)
+    order = rng.permutation(n)
+    n_train = int(round(n * training_fraction))
+    return order[:n_train], order[n_train:]

@@ -1,0 +1,7 @@
+from dream_tpu.parallel.mesh import (
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    param_shardings,
+    shard_params,
+)

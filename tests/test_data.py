@@ -1,0 +1,146 @@
+"""Data pipeline tests: dataset loading, device batch transform, augmentation
+keypoint tracking, loader determinism."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dream_tpu import data as dream_data
+from dream_tpu.ops import coords as coord_ops
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("synth"))
+    dream_data.generate_synthetic_ndds(
+        out, n_frames=10, image_resolution=(160, 120), seed=3
+    )
+    dataset = dream_data.ManipulatorNDDSDataset(
+        out,
+        "panda",
+        dream_data.DEFAULT_KEYPOINT_NAMES,
+        network_input_resolution=(96, 96),
+        network_output_resolution=(24, 24),
+        image_normalization={"mean": [0.5] * 3, "stdev": [0.5] * 3},
+        image_preprocessing="shrink-and-crop",
+    )
+    return dataset
+
+
+def test_dataset_basics(synth):
+    assert len(synth) == 10
+    assert synth.image_raw_resolution == (160, 120)
+    batch = synth.host_batch([0, 3, 5])
+    assert batch["image_rgb_raw"].shape == (3, 120, 160, 3)
+    assert batch["image_rgb_raw"].dtype == np.uint8
+    assert batch["keypoint_projections_raw"].shape == (3, 7, 2)
+    assert batch["keypoint_positions"].shape == (3, 7, 3)
+    assert synth.sample_names([0, 3]) == ["000000", "000003"]
+
+
+def test_batch_processor_no_augment(synth):
+    process = dream_data.make_batch_processor(
+        synth.image_raw_resolution,
+        synth.network_input_resolution,
+        synth.network_output_resolution,
+        synth.image_preprocessing,
+        synth.image_normalization,
+        augment=False,
+        include_belief_maps=True,
+    )
+    batch = synth.host_batch([0, 1])
+    out = process(
+        jax.random.PRNGKey(0),
+        jnp.array(batch["image_rgb_raw"]),
+        jnp.array(batch["keypoint_projections_raw"]),
+    )
+    assert out["image_rgb_input"].shape == (2, 96, 96, 3)
+    # Normalized with mean/std 0.5 -> values in [-1, 1].
+    vals = np.asarray(out["image_rgb_input"])
+    assert vals.min() >= -1.0 - 1e-5 and vals.max() <= 1.0 + 1e-5
+    assert out["belief_maps"].shape == (2, 7, 24, 24)
+
+    # Keypoint conversion matches the standalone affine path.
+    expected_netin = coord_ops.convert_keypoints_to_netin_from_raw(
+        batch["keypoint_projections_raw"],
+        synth.image_raw_resolution,
+        synth.network_input_resolution,
+        "shrink-and-crop",
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["keypoint_projections_input"]),
+        np.asarray(expected_netin),
+        atol=1e-4,
+    )
+
+    # Belief maps peak where the netout keypoints are (for in-frame kps).
+    kp_netout = np.asarray(out["keypoint_projections_output"])
+    maps = np.asarray(out["belief_maps"])
+    for b in range(2):
+        for k in range(7):
+            x, y = kp_netout[b, k]
+            if 4 <= x < 24 - 5 and 4 <= y < 24 - 5:
+                iy, ix = np.unravel_index(maps[b, k].argmax(), maps[b, k].shape)
+                assert abs(ix - x) <= 1.0 and abs(iy - y) <= 1.0
+
+
+def test_augmentation_tracks_keypoints():
+    # A synthetic image with a bright dot: after augmentation the dot must
+    # move to where the transformed keypoint says it is.
+    h = w = 64
+    image = np.zeros((h, w, 3), dtype=np.float32)
+    image[30, 40] = 255.0
+    kp = jnp.array([[40.0, 30.0]])
+
+    cfg = dream_data.AugmentConfig(
+        p_noise=0.0, p_brightness_contrast=0.0, p_shift_scale_rotate=1.0
+    )
+    out_img, out_kp = dream_data.augment_batch(
+        jax.random.PRNGKey(42), jnp.array(image)[None], kp[None], cfg
+    )
+    out_img = np.asarray(out_img)[0]
+    out_kp = np.asarray(out_kp)[0, 0]
+    # The transform must have actually moved the point.
+    assert np.linalg.norm(out_kp - [40.0, 30.0]) > 0.5
+    bright_y, bright_x = np.unravel_index(
+        out_img[..., 0].argmax(), out_img[..., 0].shape
+    )
+    assert abs(bright_x - out_kp[0]) <= 1.5
+    assert abs(bright_y - out_kp[1]) <= 1.5
+
+
+def test_augmentation_identity_when_disabled():
+    image = np.random.RandomState(0).rand(32, 32, 3).astype(np.float32) * 255
+    kp = jnp.array([[[10.0, 12.0]]])
+    cfg = dream_data.AugmentConfig(
+        p_noise=0.0, p_brightness_contrast=0.0, p_shift_scale_rotate=0.0
+    )
+    out_img, out_kp = dream_data.augment_batch(
+        jax.random.PRNGKey(0), jnp.array(image)[None], kp, cfg
+    )
+    np.testing.assert_allclose(np.asarray(out_img)[0], image, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(out_kp), np.asarray(kp), atol=1e-5)
+
+
+def test_dataloader_determinism_and_split(synth):
+    train_idx, valid_idx = dream_data.split_indices(len(synth), 0.8, seed=7)
+    assert len(train_idx) == 8 and len(valid_idx) == 2
+    # Seed-pinned: same seed -> same split (resume contract).
+    train_idx2, valid_idx2 = dream_data.split_indices(len(synth), 0.8, seed=7)
+    np.testing.assert_array_equal(train_idx, train_idx2)
+
+    loader = dream_data.DataLoader(
+        synth, batch_size=4, shuffle=True, seed=5, indices=train_idx
+    )
+    assert len(loader) == 2
+    b1 = [b["indices"].tolist() for b in loader]
+    loader2 = dream_data.DataLoader(
+        synth, batch_size=4, shuffle=True, seed=5, indices=train_idx
+    )
+    b2 = [b["indices"].tolist() for b in loader2]
+    assert b1 == b2
+    loader.set_epoch(1)
+    b3 = [b["indices"].tolist() for b in loader]
+    assert b1 != b3  # reshuffles across epochs
