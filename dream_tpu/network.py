@@ -1,0 +1,507 @@
+"""DreamNetwork: the config-driven network facade (core runtime).
+
+TPU-native counterpart of the reference's ``dream/network.py:73-697``: builds
+model + loss from a self-describing YAML config, owns the parameters, and
+exposes training, inference, and save/load.  Key re-designs:
+
+- **one jitted inference function**: ``image -> (belief_maps, keypoints)``
+  runs entirely on device, including peak extraction — the reference
+  round-trips every belief map through numpy/scipy on the CPU
+  (reference dream/network.py:503-590).
+- **analytic output resolutions** instead of a probe-with-zeros GPU forward
+  (reference dream/network.py:397-418).
+- **functional state**: parameters are an explicit pytree (flax), optimizer
+  is optax; ``enable_training`` builds the optax transform
+  (reference dream/network.py:634-691 builds torch.optim lazily the same way).
+- **mesh instead of gpu_ids**: ``training/platform/mesh`` places params and
+  batches on a (data, model) device mesh (reference ``gpu_ids`` +
+  DataParallel, dream/network.py:184-185,244-284).
+
+Checkpoints are a ``<name>.yaml`` config sidecar + ``<name>.msgpack`` flax
+param file (layout parity with the reference's ``.yaml``+``.pth`` pairs,
+reference dream/network.py:592-632).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization
+
+import dream_tpu
+from dream_tpu import models as dream_models
+from dream_tpu.ops import belief_maps as bm_ops
+from dream_tpu.ops import coords as coord_ops
+from dream_tpu.ops import image_proc as image_proc_ops
+from dream_tpu.utils import resolutions as res_utils
+from dream_tpu.utils.config import load_yaml, save_yaml, makedirs
+
+KNOWN_ARCHITECTURES = ["vgg", "resnet"]  # reference dream/network.py:18-21
+KNOWN_OPTIMIZERS = ["adam", "sgd"]  # reference dream/network.py:23-26
+
+
+def create_network_from_config_file(config_file_path, network_params_path=None):
+    """Parity: reference dream/network.py:29-63."""
+    assert os.path.exists(config_file_path), (
+        f'Expected config_file_path "{config_file_path}" to exist, but it does not.'
+    )
+    network_config = load_yaml(config_file_path)
+    dream_network = create_network_from_config_data(network_config)
+    if network_params_path:
+        assert os.path.exists(network_params_path), (
+            f'If provided, expected network_params_path "{network_params_path}" '
+            "to exist, but it does not."
+        )
+        dream_network.load_network_params(network_params_path)
+    return dream_network
+
+
+def create_network_from_config_data(network_config_data):
+    return DreamNetwork(network_config_data)
+
+
+def _mse_loss(pred, target):
+    return jnp.mean((pred - target) ** 2)
+
+
+def _huber_loss(pred, target):
+    """torch SmoothL1Loss (beta=1) semantics."""
+    d = jnp.abs(pred - target)
+    return jnp.mean(jnp.where(d < 1.0, 0.5 * d * d, d - 0.5))
+
+
+class DreamNetwork:
+    """Config-validated model + loss + inference + (de)serialization."""
+
+    def __init__(self, network_config: Dict[str, Any], seed: int = 0):
+        # --- config validation (reference dream/network.py:77-191) ---
+        assert "architecture" in network_config, (
+            'Required key "architecture" is missing from network configuration.'
+        )
+        assert "type" in network_config["architecture"]
+        assert "manipulator" in network_config, (
+            'Required key "manipulator" is missing from network configuration.'
+        )
+        assert "name" in network_config["manipulator"]
+        assert "keypoints" in network_config["manipulator"]
+
+        self.keypoint_names: List[str] = []
+        self.friendly_keypoint_names: List[str] = []
+        self.ros_keypoint_frames: List[str] = []
+        for kp_def in network_config["manipulator"]["keypoints"]:
+            assert "name" in kp_def, 'Keypoint specification is missing key "name".'
+            self.keypoint_names.append(kp_def["name"])
+            self.friendly_keypoint_names.append(
+                kp_def.get("friendly_name", kp_def["name"])
+            )
+            self.ros_keypoint_frames.append(kp_def.get("ros_frame", kp_def["name"]))
+
+        self.network_config = network_config
+        self.manipulator_name = network_config["manipulator"]["name"]
+        self.n_keypoints = len(self.keypoint_names)
+        self.architecture_type = network_config["architecture"]["type"]
+        assert self.architecture_type in KNOWN_ARCHITECTURES, (
+            f'Expected architecture type "{self.architecture_type}" to be in the '
+            "list of known network architectures, but it is not."
+        )
+
+        arch = network_config["architecture"]
+        assert "image_normalization" in arch
+        self.image_normalization = arch["image_normalization"]
+        assert "image_preprocessing" in arch
+        assert (
+            self.image_preprocessing() in res_utils.KNOWN_IMAGE_PREPROC_TYPES
+        ), f'Image preprocessing type "{self.image_preprocessing()}" is not recognized.'
+        assert "output_heads" in arch
+        assert "input_heads" in arch
+        assert arch["input_heads"][0] == "image_rgb", (
+            'First input head must be "image_rgb".'
+        )
+        assert "training" in network_config
+        assert "config" in network_config["training"]
+        assert "net_input_resolution" in network_config["training"]["config"]
+        assert len(network_config["training"]["config"]["net_input_resolution"]) == 2
+
+        # Multi-peak disambiguation knobs (reference dream/network.py:187-191).
+        self.use_belief_peak_scores = True
+        self.belief_peak_next_best_score = 0.25
+
+        # --- model construction (reference dream/network.py:193-298) ---
+        self._arch_kwargs: Dict[str, Any] = {}
+        if self.architecture_type == "vgg":
+            vgg_kwargs: Dict[str, Any] = {}
+            if "spatial_softmax" in arch:
+                assert arch["output_heads"] == ["belief_maps", "keypoints"]
+                vgg_kwargs.update(
+                    internalize_spatial_softmax=True,
+                    learned_beta=arch["spatial_softmax"]["learned_beta"],
+                    initial_beta=arch["spatial_softmax"]["initial_beta"],
+                )
+            else:
+                assert arch["output_heads"] == ["belief_maps"]
+                vgg_kwargs["internalize_spatial_softmax"] = False
+
+            if "deconv_decoder" in arch and "full_output" not in arch:
+                vgg_kwargs["deconv_decoder"] = arch["deconv_decoder"]
+            elif "full_output" in arch:
+                vgg_kwargs["deconv_decoder"] = arch["deconv_decoder"]
+                vgg_kwargs["full_output"] = True
+            if "skip_connections" in arch:
+                vgg_kwargs["skip_connections"] = arch["skip_connections"]
+
+            if "n_stages" in arch:
+                self.model = dream_models.DreamHourglassMultiStage(
+                    n_keypoints=self.n_keypoints,
+                    n_stages=arch["n_stages"],
+                    **vgg_kwargs,
+                )
+            else:
+                self.model = dream_models.DreamHourglass(
+                    n_keypoints=self.n_keypoints, **vgg_kwargs
+                )
+            self._arch_kwargs = {
+                "deconv_decoder": vgg_kwargs.get("deconv_decoder", False),
+                "full_output": vgg_kwargs.get("full_output", False),
+            }
+            self._has_batch_stats = False
+
+        else:  # resnet
+            assert arch["output_heads"] == ["belief_maps"]
+            resnet_kwargs = {}
+            if "full_decoder" in arch:
+                resnet_kwargs["full"] = arch["full_decoder"]
+            self.model = dream_models.ResnetSimple(
+                n_keypoints=self.n_keypoints, **resnet_kwargs
+            )
+            self._arch_kwargs = {"full": resnet_kwargs.get("full", False)}
+            self._has_batch_stats = True
+
+        loss_type = arch["loss"]["type"]
+        if loss_type == "mse":
+            self.criterion = _mse_loss
+        elif loss_type == "huber":
+            self.criterion = _huber_loss
+        else:
+            raise AssertionError("Loss not yet implemented.")
+
+        self.optimizer: Optional[optax.GradientTransformation] = None
+        self.opt_state = None
+        self.variables: Optional[Dict[str, Any]] = None
+        self._seed = seed
+
+        # --- output resolution: analytic, with config consistency check
+        # (reference dream/network.py:303-317) ---
+        out_res = list(
+            self.net_output_resolution_from_input_resolution(
+                self.trained_net_input_resolution()
+            )
+        )
+        cfg = self.network_config["training"]["config"]
+        if "net_output_resolution" in cfg:
+            assert list(cfg["net_output_resolution"]) == out_res, (
+                "Network model and config file disagree for trained network "
+                "output resolution."
+            )
+        else:
+            cfg["net_output_resolution"] = out_res
+
+    # ------------------------------------------------------------------
+    # Getters (reference dream/network.py:319-326)
+    # ------------------------------------------------------------------
+
+    def trained_net_input_resolution(self) -> Tuple[int, int]:
+        return tuple(self.network_config["training"]["config"]["net_input_resolution"])
+
+    def trained_net_output_resolution(self) -> Tuple[int, int]:
+        return tuple(self.network_config["training"]["config"]["net_output_resolution"])
+
+    def image_preprocessing(self) -> str:
+        return self.network_config["architecture"]["image_preprocessing"]
+
+    def net_resolutions_from_image_raw_resolution(
+        self, image_raw_resolution, image_preprocessing_override=None
+    ):
+        """Parity: reference dream/network.py:368-395."""
+        assert len(image_raw_resolution) == 2
+        image_preprocessing = (
+            image_preprocessing_override
+            if image_preprocessing_override
+            else self.image_preprocessing()
+        )
+        net_input_resolution = res_utils.resolution_after_preprocessing(
+            image_raw_resolution,
+            self.trained_net_input_resolution(),
+            image_preprocessing,
+        )
+        net_output_resolution = self.net_output_resolution_from_input_resolution(
+            net_input_resolution
+        )
+        return net_input_resolution, net_output_resolution
+
+    def net_output_resolution_from_input_resolution(self, net_input_resolution):
+        """Analytic (replaces the reference's device probe, dream/network.py:397-418)."""
+        return res_utils.net_output_resolution_from_input_resolution(
+            net_input_resolution, self.architecture_type, **self._arch_kwargs
+        )
+
+    # ------------------------------------------------------------------
+    # Parameters
+    # ------------------------------------------------------------------
+
+    def init_variables(self, seed: Optional[int] = None, force: bool = False):
+        """Initialize model parameters (idempotent unless ``force``)."""
+        if self.variables is not None and not force:
+            return self.variables
+        key = jax.random.PRNGKey(self._seed if seed is None else seed)
+        w, h = self.trained_net_input_resolution()
+        dummy = jnp.zeros((1, h, w, 3), dtype=jnp.float32)
+        if self._has_batch_stats:
+            variables = self.model.init(key, dummy, train=False)
+        else:
+            variables = self.model.init(key, dummy)
+        self.variables = dict(variables)
+        return self.variables
+
+    def apply_model(self, variables, net_input, train: bool = False):
+        """Forward pass; returns (list of stage outputs NHWC, new_batch_stats|None)."""
+        if self._has_batch_stats:
+            if train:
+                out, mutated = self.model.apply(
+                    variables, net_input, train=True, mutable=["batch_stats"]
+                )
+                return out, mutated["batch_stats"]
+            return self.model.apply(variables, net_input, train=False), None
+        return self.model.apply(variables, net_input), None
+
+    # ------------------------------------------------------------------
+    # Loss / training (reference dream/network.py:328-364, 634-696)
+    # ------------------------------------------------------------------
+
+    def loss_fn(self, variables, net_input, target_belief_maps, train: bool = False):
+        """Belief-map regression loss.
+
+        ``target_belief_maps`` is ``[B, n_kp, h, w]`` (reference layout);
+        multistage models average the criterion over all stage outputs against
+        the broadcast target (reference dream/network.py:345-356).
+        """
+        outputs, new_batch_stats = self.apply_model(variables, net_input, train=train)
+        target = jnp.moveaxis(target_belief_maps, 1, -1)  # -> NHWC
+        stacked = jnp.stack(outputs)  # [n_stages, B, h, w, n_kp]
+        loss = self.criterion(stacked, jnp.broadcast_to(target, stacked.shape))
+        return loss, new_batch_stats
+
+    def enable_training(self):
+        """Build the optax optimizer from config (reference dream/network.py:634-691)."""
+        if self.optimizer is None:
+            tcfg = self.network_config["training"]["config"]
+            assert "optimizer" in tcfg
+            assert "type" in tcfg["optimizer"]
+            optimizer_type = tcfg["optimizer"]["type"]
+            assert optimizer_type in KNOWN_OPTIMIZERS, (
+                f'Expected optimizer_type "{optimizer_type}" to be in the list '
+                "of known optimizers, but it is not."
+            )
+            assert "learning_rate" in tcfg["optimizer"]
+            lr = tcfg["optimizer"]["learning_rate"]
+            if optimizer_type == "adam":
+                self.optimizer = optax.adam(lr)
+            else:
+                self.optimizer = optax.sgd(lr)
+
+        self.init_variables()
+        if self.opt_state is None:
+            self.opt_state = self.optimizer.init(self.variables["params"])
+        self._train_step = self._build_train_step()
+        self._eval_loss = self._build_eval_loss()
+
+    def _build_train_step(self):
+        optimizer = self.optimizer
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(variables, opt_state, net_input, target_belief_maps):
+            def compute(params):
+                vars_in = dict(variables, params=params)
+                loss, new_bs = self.loss_fn(
+                    vars_in, net_input, target_belief_maps, train=True
+                )
+                return loss, new_bs
+
+            (loss, new_batch_stats), grads = jax.value_and_grad(
+                compute, has_aux=True
+            )(variables["params"])
+            updates, opt_state = optimizer.update(
+                grads, opt_state, variables["params"]
+            )
+            params = optax.apply_updates(variables["params"], updates)
+            new_vars = dict(variables, params=params)
+            if new_batch_stats is not None:
+                new_vars["batch_stats"] = new_batch_stats
+            return new_vars, opt_state, loss
+
+        return train_step
+
+    def _build_eval_loss(self):
+        @jax.jit
+        def eval_loss(variables, net_input, target_belief_maps):
+            loss, _ = self.loss_fn(variables, net_input, target_belief_maps, train=False)
+            return loss
+
+        return eval_loss
+
+    def train(self, network_input_heads, target):
+        """One optimization step (reference dream/network.py:328-338).
+
+        ``network_input_heads`` is a list whose first entry is the image batch
+        (NHWC); ``target`` is ``[B, n_kp, h, w]`` belief maps.
+        """
+        assert self.optimizer is not None, (
+            "Optimizer must be defined. Use enable_training() first."
+        )
+        self.variables, self.opt_state, loss = self._train_step(
+            self.variables, self.opt_state, network_input_heads[0], target
+        )
+        return loss
+
+    def loss(self, network_input_heads, target):
+        """Evaluation loss (no gradient; reference dream/network.py:340-364)."""
+        self.init_variables()
+        if not hasattr(self, "_eval_loss"):
+            self._eval_loss = self._build_eval_loss()
+        return self._eval_loss(self.variables, network_input_heads[0], target)
+
+    def enable_evaluation(self):
+        """Inference mode (reference dream/network.py:693-696).  flax models
+        are stateless; this just ensures params exist."""
+        self.init_variables()
+
+    # ------------------------------------------------------------------
+    # Inference (reference dream/network.py:503-590)
+    # ------------------------------------------------------------------
+
+    def peak_offset_due_to_upsampling(self) -> float:
+        w, h = self.trained_net_output_resolution()
+        # Heuristic for small belief maps (reference dream/network.py:534-538).
+        return 0.0 if (w >= 400 and h >= 400) else 0.4395
+
+    @functools.cached_property
+    def _inference_fn(self):
+        offset = self.peak_offset_due_to_upsampling()
+        use_scores = self.use_belief_peak_scores
+        gap = self.belief_peak_next_best_score
+
+        @jax.jit
+        def run(variables, net_input):
+            outputs, _ = self.apply_model(variables, net_input, train=False)
+            belief_nhwc = outputs[-1]  # last stage (reference :522)
+            belief = jnp.moveaxis(belief_nhwc, -1, 1)  # [B, n_kp, h, w]
+            keypoints, peaks = bm_ops.keypoints_from_belief_maps(
+                belief,
+                offset,
+                use_belief_peak_scores=use_scores,
+                belief_peak_next_best_score=gap,
+            )
+            return belief, keypoints
+
+        return run
+
+    def inference(self, network_input):
+        """Image batch (NHWC float) -> (belief_maps [B,n_kp,h,w], keypoints [B,n_kp,2]).
+
+        Fully on device, single jit; sentinel (-999.999, -999.999) marks
+        no-detection (reference dream/network.py:503-590).
+        """
+        self.init_variables()
+        return self._inference_fn(self.variables, network_input)
+
+    def keypoints_from_image(
+        self, input_rgb_image, image_preprocessing_override=None, debug=False
+    ):
+        """Full single-image pipeline, PIL in -> raw-frame keypoints out.
+
+        Parity: reference dream/network.py:423-499.
+        """
+        import PIL.Image as PILImage
+
+        if isinstance(input_rgb_image, PILImage.Image):
+            input_resolution = input_rgb_image.size
+            image_arr = np.asarray(input_rgb_image.convert("RGB"), dtype=np.uint8)
+        else:
+            image_arr = np.asarray(input_rgb_image, dtype=np.uint8)
+            input_resolution = (image_arr.shape[1], image_arr.shape[0])
+
+        image_preprocessing = (
+            image_preprocessing_override
+            if image_preprocessing_override
+            else self.image_preprocessing()
+        )
+
+        netin_res, netout_res = self.net_resolutions_from_image_raw_resolution(
+            input_resolution, image_preprocessing_override=image_preprocessing
+        )
+
+        net_input = image_proc_ops.preprocess_and_normalize(
+            jnp.asarray(image_arr)[None],
+            self.trained_net_input_resolution(),
+            image_preprocessing,
+            self.image_normalization,
+        )
+
+        belief_maps_batch, kp_netout_batch = self.inference(net_input)
+        detected_kp_projs_net_out = np.asarray(kp_netout_batch[0], dtype=float)
+        belief_maps = belief_maps_batch[0]
+
+        netout_res_inf = (belief_maps.shape[-1], belief_maps.shape[-2])
+        kp_netin = coord_ops.convert_keypoints_to_netin_from_netout(
+            detected_kp_projs_net_out, netout_res_inf, netin_res
+        )
+        detected_kp_projs = coord_ops.convert_keypoints_to_raw_from_netin(
+            kp_netin, netin_res, input_resolution, image_preprocessing
+        )
+
+        detection_result = {"detected_keypoints": np.asarray(detected_kp_projs)}
+        if debug:
+            detection_result["image_rgb_net_input"] = net_input[0]
+            detection_result["belief_maps"] = belief_maps
+            detection_result["detected_keypoints_net_output"] = detected_kp_projs_net_out
+            detection_result["detected_keypoints_net_input"] = np.asarray(kp_netin)
+        return detection_result
+
+    # ------------------------------------------------------------------
+    # Serialization (reference dream/network.py:592-632)
+    # ------------------------------------------------------------------
+
+    def save_network_config(self, config_file_path, overwrite=False):
+        save_yaml(self.network_config, config_file_path, overwrite=overwrite)
+
+    def save_network_params(self, network_params_path, overwrite=False):
+        if not overwrite:
+            assert not os.path.exists(network_params_path), (
+                f'Output file already exists in "{network_params_path}".'
+            )
+        self.init_variables()
+        with open(network_params_path, "wb") as f:
+            f.write(serialization.to_bytes(self.variables))
+
+    def load_network_params(self, network_params_path):
+        self.init_variables()
+        with open(network_params_path, "rb") as f:
+            self.variables = serialization.from_bytes(self.variables, f.read())
+        # Drop any stale compiled closure over old variables.
+        self.__dict__.pop("_inference_fn", None)
+
+    def save_network(self, output_dir, output_filename_without_extension, overwrite=False):
+        makedirs(output_dir, exist_ok=True)
+        self.save_network_config(
+            os.path.join(output_dir, output_filename_without_extension + ".yaml"),
+            overwrite,
+        )
+        self.save_network_params(
+            os.path.join(output_dir, output_filename_without_extension + ".msgpack"),
+            overwrite,
+        )
