@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Dataset inference + analysis CLI.
+
+Thin wrapper over dream_tpu.analysis.analyze_ndds_dataset, mirroring the
+reference CLI (reference scripts/network_inference_dataset.py:13-131).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dream_tpu import analysis as dream_analysis
+
+
+def network_inference_dataset(args):
+    # Config path convention: <params>.yaml sidecar next to the msgpack file
+    # (reference derives it by swapping the .pth extension).
+    network_config_path = args.network_config or os.path.splitext(
+        args.input_params_path
+    )[0] + ".yaml"
+    dream_analysis.analyze_ndds_dataset(
+        args.input_params_path,
+        network_config_path,
+        args.dataset_dir,
+        args.output_dir,
+        visualize_belief_maps=not args.no_visualization,
+        pnp_analysis=not args.no_pnp,
+        force_overwrite=args.force_overwrite,
+        image_preprocessing_override=args.image_preproc_override,
+        batch_size=args.batch_size,
+        num_workers=args.num_workers,
+    )
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter
+    )
+    parser.add_argument(
+        "-i", "--input-params-path", required=True,
+        help="Path to network parameters file (.msgpack).",
+    )
+    parser.add_argument(
+        "-c", "--network-config", default=None,
+        help="Network config YAML; defaults to the params path with .yaml.",
+    )
+    parser.add_argument("-d", "--dataset-dir", required=True)
+    parser.add_argument("-o", "--output-dir", required=True)
+    parser.add_argument("-b", "--batch-size", type=int, default=16)
+    parser.add_argument("-w", "--num-workers", type=int, default=8)
+    parser.add_argument("-f", "--force-overwrite", action="store_true", default=False)
+    parser.add_argument("-p", "--image-preproc-override", default=None)
+    parser.add_argument("--no-pnp", action="store_true", default=False)
+    parser.add_argument("--no-visualization", action="store_true", default=False)
+    network_inference_dataset(parser.parse_args())

@@ -1,0 +1,113 @@
+"""Full-pipeline integration test: synthetic NDDS dataset -> train CLI ->
+checkpoints -> resume -> dataset analysis -> sane metrics.
+
+The reference has no automated integration test (README metric walkthrough is
+manual); this closes that gap.  Runs on small resolutions so CPU time stays
+bounded.
+"""
+
+import os
+import pickle
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+from dream_tpu.data.synthetic import generate_synthetic_ndds
+from dream_tpu.utils.config import save_yaml
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    data_dir = str(root / "data")
+    generate_synthetic_ndds(
+        data_dir, n_frames=16, image_resolution=(160, 120), seed=11,
+        out_of_frame_fraction=0.0,
+    )
+    arch_path = str(root / "arch.yaml")
+    save_yaml(
+        {
+            "architecture": {
+                "type": "vgg",
+                "target": "belief_maps",
+                "input_heads": ["image_rgb"],
+                "output_heads": ["belief_maps"],
+                "image_normalization": {"mean": [0.5] * 3, "stdev": [0.5] * 3},
+                "loss": {"type": "mse"},
+            },
+            "training": {
+                "config": {
+                    "image_preprocessing": "shrink-and-crop",
+                    "net_input_resolution": [96, 96],
+                }
+            },
+        },
+        arch_path,
+    )
+    manip_path = os.path.join(REPO, "manip_configs", "panda.yaml")
+    return {"data": data_dir, "arch": arch_path, "manip": manip_path, "root": root}
+
+
+def test_train_resume_analyze(env):
+    from train_network import make_parser, train_network
+    from dream_tpu import analysis as dream_analysis
+
+    out_dir = str(env["root"] / "train_out")
+    argv = [
+        "-i", env["data"], "-m", env["manip"], "-ar", env["arch"],
+        "-e", "2", "-b", "4", "-o", out_dir, "-s", "42", "-w", "2",
+        "-lr", "0.001", "-not-a",
+    ]
+    args = make_parser().parse_args(argv)
+    train_network(args)
+
+    # Checkpoint layout parity (reference scripts/train_network.py:612-659).
+    files = set(os.listdir(out_dir))
+    assert "best_network.yaml" in files and "best_network.msgpack" in files
+    assert "epoch_2.yaml" in files and "epoch_2.msgpack" in files
+    assert "epoch_1.msgpack" not in files  # previous epoch cleaned up
+    assert "training_log.pkl" in files
+
+    with open(os.path.join(out_dir, "training_log.pkl"), "rb") as f:
+        log = pickle.load(f)
+    assert log["epochs"] == [1, 2]
+    assert log["random_seed"] == 42
+    assert len(log["losses"]) == 2
+    # Training must make progress on this easy synthetic set.
+    assert log["losses"][-1] < log["losses"][0]
+
+    # Resume for one more epoch: seed-pinned split, consistent config.
+    args2 = make_parser().parse_args(argv + ["-r", "-e", "3"])
+    train_network(args2)
+    files = set(os.listdir(out_dir))
+    assert "epoch_3.msgpack" in files and "epoch_2.msgpack" not in files
+    with open(os.path.join(out_dir, "training_log.pkl"), "rb") as f:
+        log2 = pickle.load(f)
+    assert log2["epochs"] == [1, 2, 3]
+    assert log2["epochs_resumed"] == [3]
+
+    # Dataset analysis end to end.
+    analysis_dir = str(env["root"] / "analysis_out")
+    kp_metrics, pnp_results = dream_analysis.analyze_ndds_dataset(
+        os.path.join(out_dir, "best_network.msgpack"),
+        os.path.join(out_dir, "best_network.yaml"),
+        env["data"],
+        analysis_dir,
+        visualize_belief_maps=True,
+        pnp_analysis=True,
+        batch_size=8,
+        num_workers=2,
+    )
+    for fname in ["keypoints.csv", "pnp_results.csv", "analysis_results.txt"]:
+        assert os.path.exists(os.path.join(analysis_dir, fname)), fname
+
+    assert kp_metrics["num_gt_inframe"] > 0
+    # Untrained-ish net: just require the plumbing produced finite metrics.
+    assert pnp_results["num_pnp_possible"] > 0
+
+    report = open(os.path.join(analysis_dir, "analysis_results.txt")).read()
+    assert "Number of frames in this dataset: 16" in report
