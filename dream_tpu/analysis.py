@@ -40,6 +40,50 @@ from dream_tpu.utils import (
     makedirs,
 )
 
+def plot_train_valid_loss(
+    epochs, training_loss, validation_loss, dataset_name=None, save_plot_path=None
+):
+    """Training-vs-validation loss plot (reference dream/analysis.py:22-90)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    assert len(epochs) == len(training_loss)
+    assert len(epochs) == len(validation_loss)
+
+    plot_title = "Training vs. validation loss"
+    fig, ax = plt.subplots()
+
+    if isinstance(training_loss[0], float):
+        ax.plot(epochs, training_loss, ".-", label="Training")
+        ax.plot(epochs, validation_loss, ".-", label="Validation")
+    else:
+        plot_title += " (batch-wise mean +- 1 stdev)"
+        ax.errorbar(
+            epochs, [np.mean(x) for x in training_loss],
+            yerr=[np.std(x) for x in training_loss],
+            marker=".", linestyle="-", label="Training",
+        )
+        ax.errorbar(
+            epochs, [np.mean(x) for x in validation_loss],
+            yerr=[np.std(x) for x in validation_loss],
+            marker=".", linestyle="-", label="Validation",
+        )
+
+    ax.grid()
+    plt.xlabel("Training epoch")
+    plt.ylabel("Loss")
+    plt.xlim((epochs[0], epochs[-1]))
+    if dataset_name:
+        plot_title += f": {dataset_name}"
+    plt.title(plot_title)
+    ax.legend(loc="best")
+    if save_plot_path:
+        plt.savefig(save_plot_path)
+    return fig, ax
+
+
 # -----------------------------------------------------------------------------
 # Metrics (vectorized, definitionally identical to the reference)
 # -----------------------------------------------------------------------------

@@ -340,7 +340,49 @@ def solve_pnp(
     t0 = jnp.where(use1, t1, t2)
 
     if refinement:
-        R, t = _gauss_newton_pose(R0, t0, Xs, uv_norm, w, iters=gn_iters)
+        # Multi-start damped Gauss-Newton: EPnP candidates plus geometric
+        # front-facing initializations (depth from 3D/2D spread ratio).  The
+        # minimal 4-point case can defeat the linear EPnP initializer; a
+        # handful of extra cheap GN starts makes the solver globally robust
+        # (all starts run vmapped, cost is negligible next to the model).
+        n_eff = jnp.sum(w) + _EPS
+        c3d = jnp.sum(Xs * w[:, None], axis=0) / n_eff
+        c2d = jnp.sum(uv_norm * w[:, None], axis=0) / n_eff
+        spread3d = jnp.sum(
+            jnp.linalg.norm((Xs - c3d) * w[:, None], axis=1)
+        ) / n_eff
+        spread2d = jnp.sum(
+            jnp.linalg.norm((uv_norm - c2d) * w[:, None], axis=1)
+        ) / n_eff
+        z0 = spread3d / (spread2d + _EPS)
+
+        def front_init(R_guess):
+            t_guess = jnp.concatenate([c2d * z0, jnp.array([z0])]) - R_guess @ c3d
+            return R_guess, t_guess
+
+        flip_x = jnp.diag(jnp.array([1.0, -1.0, -1.0]))
+        flip_y = jnp.diag(jnp.array([-1.0, 1.0, -1.0]))
+        flip_z = jnp.diag(jnp.array([-1.0, -1.0, 1.0]))
+        starts_R = jnp.stack(
+            [R0, R1, R2]
+            + [front_init(Rg)[0] for Rg in (jnp.eye(3), flip_x, flip_y, flip_z)]
+        )
+        starts_t = jnp.stack(
+            [t0, t1, t2]
+            + [front_init(Rg)[1] for Rg in (jnp.eye(3), flip_x, flip_y, flip_z)]
+        )
+
+        def run_start(Rs, ts):
+            Rf, tf = _gauss_newton_pose(Rs, ts, Xs, uv_norm, w, iters=gn_iters)
+            cost = jnp.sum(_reproj_residuals(Rf, tf, Xs, uv_norm, w) ** 2)
+            # Penalize solutions that put points behind the camera.
+            z = Xs @ Rf.T[:, 2] + tf[2]
+            behind = jnp.sum((z < 0) * w)
+            return Rf, tf, cost + 1e6 * behind
+
+        Rs_all, ts_all, costs = jax.vmap(run_start)(starts_R, starts_t)
+        best = jnp.argmin(costs)
+        R, t = Rs_all[best], ts_all[best]
     else:
         R, t = R0, t0
 

@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Online pose-serving CLI — the TPU-host equivalent of the reference ROS node
+launcher (reference scripts/launch_dream_ros.py:629-719).
+
+Example:
+  python scripts/serve_dream.py -i best_network.msgpack -b panda_link0 -p 8080
+
+Then from the robot side:
+  curl -X POST localhost:8080/camera_info -d '{"fx":615,"fy":615,"cx":320,"cy":240}'
+  curl -X POST localhost:8080/keypoint_positions -d '[[x,y,z], ...]'   # live FK
+  curl -X POST localhost:8080/image --data-binary @frame.png
+  curl localhost:8080/pose
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dream_tpu.network import create_network_from_config_file
+from dream_tpu.serve import DreamInferenceServer, make_http_server
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter
+    )
+    parser.add_argument("-i", "--input-params-path", required=True)
+    parser.add_argument("-c", "--network-config", default=None)
+    parser.add_argument("-b", "--base-frame", required=True,
+                        help="Robot base frame name for the published pose.")
+    parser.add_argument("-p", "--port", type=int, default=8080)
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--multi-frame", action="store_true", default=False,
+                        help="Accumulate correspondences across captured frames "
+                             "(reference's multi-frame calibration mode).")
+    parser.add_argument("-v", "--verbose", action="store_true", default=False)
+    args = parser.parse_args()
+
+    network_config_path = args.network_config or os.path.splitext(
+        args.input_params_path
+    )[0] + ".yaml"
+    net = create_network_from_config_file(network_config_path, args.input_params_path)
+
+    server = DreamInferenceServer(
+        net,
+        base_frame=args.base_frame,
+        single_frame_mode=not args.multi_frame,
+        verbose=args.verbose,
+    )
+    httpd = make_http_server(server, args.host, args.port)
+    print(f"dream_tpu serving on {args.host}:{args.port} "
+          f"(single_frame_mode={not args.multi_frame})")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        print("shutting down")
+
+
+if __name__ == "__main__":
+    main()

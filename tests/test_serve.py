@@ -1,0 +1,182 @@
+"""Serving-node tests: state machine + HTTP transport round trip.
+
+Covers the reference ROS node's behavior surface
+(reference scripts/launch_dream_ros.py): camera_info / FK keypoint intake,
+per-frame processing, single- vs multi-frame buffer semantics, pose
+publication (robot-from-camera inverse), and debug renders — over HTTP.
+"""
+
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from dream_tpu.network import DreamNetwork
+from dream_tpu.serve import DreamInferenceServer, make_http_server
+from tests.test_network import _vgg_config
+
+
+class _OracleNetwork(DreamNetwork):
+    """DreamNetwork whose keypoints_from_image returns planted GT projections
+    (isolates serve-layer logic from model quality)."""
+
+    def __init__(self, planted_projs, **kwargs):
+        super().__init__(_vgg_config(), **kwargs)
+        self._planted = np.asarray(planted_projs, dtype=float)
+
+    def keypoints_from_image(self, image, image_preprocessing_override=None, debug=False):
+        result = {"detected_keypoints": self._planted.copy()}
+        if debug:
+            result["image_rgb_net_input"] = np.zeros((64, 64, 3), np.float32)
+            result["belief_maps"] = np.zeros((4, 16, 16), np.float32)
+            result["detected_keypoints_net_output"] = self._planted / 4.0
+            result["detected_keypoints_net_input"] = self._planted.copy()
+        return result
+
+
+def _make_scene():
+    """GT pose + keypoints + projections for a synthetic camera."""
+    rng = np.random.RandomState(0)
+    K = np.array([[300.0, 0, 160.0], [0, 300.0, 120.0], [0, 0, 1.0]])
+    X = rng.uniform(-0.3, 0.3, (4, 3))
+    t = np.array([0.0, 0.0, 1.5])
+    Xc = X + t  # identity rotation
+    uv = (Xc @ K.T)
+    uv = uv[:, :2] / uv[:, 2:]
+    return K, X, uv, t
+
+
+def test_serve_state_machine_single_frame():
+    K, X, uv, t_gt = _make_scene()
+    net = _OracleNetwork(uv)
+    server = DreamInferenceServer(net, base_frame="base", single_frame_mode=True)
+
+    image = np.zeros((240, 320, 3), np.uint8)
+
+    # No intrinsics / FK yet -> no pose.
+    status = server.process_image(image)
+    assert status["pnp"] is False
+    assert server.get_pose()["ok"] is False
+
+    server.on_camera_info(K[0, 0], K[1, 1], K[0, 2], K[1, 2])
+    server.on_keypoint_positions(X)
+    status = server.process_image(image)
+    assert status["pnp"] is True
+
+    pose = server.get_pose()
+    assert pose["ok"]
+    # camera_from_robot should recover t_gt (identity rotation).
+    np.testing.assert_allclose(
+        pose["camera_from_robot"]["translation"], t_gt, atol=1e-3
+    )
+    # published pose is the inverse.
+    np.testing.assert_allclose(pose["translation"], -t_gt, atol=1e-3)
+
+    # Single-frame mode never grows the buffer.
+    assert server.get_status()["buffer_size"] == 0
+
+
+def test_serve_multi_frame_buffer():
+    K, X, uv, _ = _make_scene()
+    net = _OracleNetwork(uv)
+    server = DreamInferenceServer(net, base_frame="base", single_frame_mode=False)
+    server.on_camera_info(K[0, 0], K[1, 1], K[0, 2], K[1, 2])
+    server.on_keypoint_positions(X)
+
+    image = np.zeros((240, 320, 3), np.uint8)
+
+    # Without a capture request, frames do not touch the buffer.
+    status = server.process_image(image)
+    assert status["pnp"] is False
+    assert server.get_status()["buffer_size"] == 0
+
+    server.capture_frame()
+    status = server.process_image(image)
+    assert status["pnp"] is True
+    assert server.get_status()["buffer_size"] == 4
+
+    server.capture_frame()
+    server.process_image(image)
+    assert server.get_status()["buffer_size"] == 8
+
+    server.clear_buffer()
+    assert server.get_status()["buffer_size"] == 0
+
+
+def test_serve_rejects_bad_keypoint_positions():
+    _, X, uv, _ = _make_scene()
+    server = DreamInferenceServer(_OracleNetwork(uv), base_frame="base")
+    with pytest.raises(AssertionError):
+        server.on_keypoint_positions(np.zeros((3, 3)))  # wrong n_kp
+
+
+def test_serve_sentinel_detections_skipped():
+    K, X, uv, _ = _make_scene()
+    uv_partial = uv.copy()
+    uv_partial[0] = [-999.999, -999.999]  # one keypoint not detected
+    server = DreamInferenceServer(_OracleNetwork(uv_partial), base_frame="base")
+    server.on_camera_info(K[0, 0], K[1, 1], K[0, 2], K[1, 2])
+    server.on_keypoint_positions(X)
+    image = np.zeros((240, 320, 3), np.uint8)
+    # 3 valid correspondences < 4 -> no PnP.
+    status = server.process_image(image)
+    assert status["pnp"] is False
+    assert status["n_detected"] == 3
+
+
+def test_http_transport_round_trip():
+    from PIL import Image
+
+    K, X, uv, t_gt = _make_scene()
+    server = DreamInferenceServer(_OracleNetwork(uv), base_frame="base")
+    httpd = make_http_server(server, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+
+    def post(path, data):
+        req = urllib.request.Request(f"http://127.0.0.1:{port}{path}", data=data)
+        with urllib.request.urlopen(req) as resp:
+            return json.loads(resp.read())
+
+    def get(path):
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as resp:
+            return resp.read(), resp.headers.get("Content-Type")
+
+    try:
+        assert post("/camera_info", json.dumps(
+            {"fx": K[0, 0], "fy": K[1, 1], "cx": K[0, 2], "cy": K[1, 2]}
+        ).encode())["ok"]
+        assert post("/keypoint_positions", json.dumps(X.tolist()).encode())["ok"]
+
+        buf = io.BytesIO()
+        Image.new("RGB", (320, 240)).save(buf, format="PNG")
+        result = post("/image", buf.getvalue())
+        assert result["ok"] and result["pnp"]
+
+        body, ctype = get("/pose")
+        pose = json.loads(body)
+        assert pose["ok"]
+        np.testing.assert_allclose(
+            pose["camera_from_robot"]["translation"], t_gt, atol=1e-3
+        )
+
+        body, ctype = get("/status")
+        assert json.loads(body)["frames_processed"] == 1
+
+        body, ctype = get("/debug/keypoint_overlay.png")
+        assert ctype == "image/png"
+
+        # Unknown endpoint -> 404 JSON error.
+        try:
+            get("/nonsense")
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        httpd.shutdown()

@@ -1,0 +1,126 @@
+"""Torch-checkpoint conversion parity test.
+
+Builds a plain-torch twin of the reference DreamHourglass module structure
+(same state_dict key names as reference dream/models.py:557-759, no
+torchvision needed), runs a forward pass, converts the state_dict with
+scripts/convert_torch_weights.py, and checks the flax model reproduces the
+torch output to float tolerance.  This is what guarantees the reference's
+released .pth checkpoints load correctly for inference parity.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as nn  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+from convert_torch_weights import convert_vgg  # noqa: E402
+from dream_tpu.models import DreamHourglass  # noqa: E402
+
+
+def _torch_hourglass(n_keypoints=3, in_channels=3):
+    """Plain-torch module with the reference's exact state_dict layout."""
+
+    class TorchHourglass(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.down_sample = nn.MaxPool2d(2)
+
+            def seq(named_layers):
+                s = nn.Sequential()
+                for name, layer in named_layers:
+                    s.add_module(name, layer)
+                return s
+
+            self.layer_0_1_down = seq([
+                ("0", nn.Conv2d(in_channels, 64, 3, 1, 1)), ("1", nn.ReLU()),
+                ("2", nn.Conv2d(64, 64, 3, 1, 1)), ("3", nn.ReLU()),
+            ])
+            self.layer_0_2_down = seq([
+                ("5", nn.Conv2d(64, 128, 3, 1, 1)), ("6", nn.ReLU()),
+                ("7", nn.Conv2d(128, 128, 3, 1, 1)), ("8", nn.ReLU()),
+            ])
+            self.layer_0_3_down = seq([
+                ("10", nn.Conv2d(128, 256, 3, 1, 1)), ("11", nn.ReLU()),
+                ("12", nn.Conv2d(256, 256, 3, 1, 1)), ("13", nn.ReLU()),
+                ("14", nn.Conv2d(256, 256, 3, 1, 1)), ("15", nn.ReLU()),
+                ("16", nn.Conv2d(256, 256, 3, 1, 1)), ("17", nn.ReLU()),
+            ])
+            self.layer_0_4_down = seq([
+                ("19", nn.Conv2d(256, 512, 3, 1, 1)), ("20", nn.ReLU()),
+                ("21", nn.Conv2d(512, 512, 3, 1, 1)), ("22", nn.ReLU()),
+                ("23", nn.Conv2d(512, 512, 3, 1, 1)), ("24", nn.ReLU()),
+                ("25", nn.Conv2d(512, 512, 3, 1, 1)), ("26", nn.ReLU()),
+            ])
+            self.layer_0_5_down = seq([
+                ("28", nn.Conv2d(512, 512, 3, 1, 1)), ("29", nn.ReLU()),
+                ("30", nn.Conv2d(512, 512, 3, 1, 1)), ("31", nn.ReLU()),
+                ("32", nn.Conv2d(512, 512, 3, 1, 1)), ("33", nn.ReLU()),
+                ("34", nn.Conv2d(512, 512, 3, 1, 1)), ("35", nn.ReLU()),
+            ])
+            self.upsample_0_4 = seq([
+                ("0", nn.Upsample(scale_factor=2)),
+                ("4", nn.Conv2d(512, 256, 3, 1, 1)), ("5", nn.ReLU()),
+                ("6", nn.Conv2d(256, 256, 3, 1, 1)),
+            ])
+            self.upsample_0_3 = seq([
+                ("0", nn.Upsample(scale_factor=2)),
+                ("4", nn.Conv2d(256, 128, 3, 1, 1)), ("5", nn.ReLU()),
+                ("6", nn.Conv2d(128, 64, 3, 1, 1)),
+            ])
+            self.heads_0 = seq([
+                ("0", nn.Conv2d(64, 64, 3, 1, 1)), ("1", nn.ReLU()),
+                ("2", nn.Conv2d(64, 32, 3, 1, 1)), ("3", nn.ReLU()),
+                ("4", nn.Conv2d(32, n_keypoints, 3, 1, 1)),
+            ])
+
+        def forward(self, x):
+            x = self.layer_0_1_down(x)
+            x = self.down_sample(x)
+            x = self.layer_0_2_down(x)
+            x = self.down_sample(x)
+            x = self.layer_0_3_down(x)
+            x = self.down_sample(x)
+            x = self.layer_0_4_down(x)
+            x = self.down_sample(x)
+            x = self.layer_0_5_down(x)
+            x = self.upsample_0_4(x)
+            x = self.upsample_0_3(x)
+            return self.heads_0(x)
+
+    return TorchHourglass()
+
+
+def test_hourglass_conversion_value_parity():
+    torch.manual_seed(0)
+    tmodel = _torch_hourglass(n_keypoints=3)
+    tmodel.eval()
+
+    x = np.random.RandomState(1).rand(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        t_out = tmodel(torch.from_numpy(x)).numpy()  # [1, 3, 16, 16]
+
+    variables = convert_vgg(tmodel.state_dict())
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+
+    fmodel = DreamHourglass(n_keypoints=3)
+    f_out = fmodel.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))[0]
+    f_out_nchw = np.moveaxis(np.asarray(f_out), -1, 1)
+
+    np.testing.assert_allclose(f_out_nchw, t_out, atol=2e-4)
+
+
+def test_dataparallel_prefix_stripped():
+    tmodel = _torch_hourglass(n_keypoints=2)
+    sd = {"module." + k: v for k, v in tmodel.state_dict().items()}
+    variables = convert_vgg(sd)
+    assert "down1" in variables["params"]
