@@ -64,6 +64,7 @@ class ManipulatorNDDSDataset:
         include_belief_maps: bool = False,
         debug_mode: int = ManipulatorNDDSDatasetDebugLevels.NONE,
         n_decode_threads: int = 8,
+        use_native_loader: Optional[bool] = None,
     ):
         if isinstance(ndds_dataset, str):
             ndds_dataset = ndds_utils.find_ndds_data_in_dir(ndds_dataset)
@@ -88,6 +89,12 @@ class ManipulatorNDDSDataset:
         self._decode_pool = concurrent.futures.ThreadPoolExecutor(
             max_workers=n_decode_threads
         )
+        self._n_decode_threads = n_decode_threads
+        if use_native_loader is None:
+            from dream_tpu.data import native_loader
+
+            use_native_loader = native_loader.native_available()
+        self._use_native_loader = use_native_loader
 
         # Eagerly parse all keypoint JSON (cheap relative to image decode,
         # keeps the steady-state loop free of JSON work).
@@ -125,7 +132,21 @@ class ManipulatorNDDSDataset:
             return np.asarray(im.convert("RGB"), dtype=np.uint8)
 
     def load_images(self, indices: Sequence[int]) -> np.ndarray:
-        """Threaded decode of a batch of raw-resolution uint8 images."""
+        """Threaded decode of a batch of raw-resolution uint8 images.
+
+        Uses the native C++ decoder (GIL-free thread pool) when built,
+        otherwise a Python thread pool over PIL.
+        """
+        if self._use_native_loader:
+            from dream_tpu.data import native_loader
+
+            w, h = self.image_raw_resolution
+            paths = [
+                self.ndds_dataset_data[i]["image_paths"]["rgb"] for i in indices
+            ]
+            return native_loader.decode_batch(
+                paths, h, w, n_threads=self._n_decode_threads
+            )
         images = list(self._decode_pool.map(self._decode, indices))
         return np.stack(images)
 

@@ -144,3 +144,25 @@ def test_dataloader_determinism_and_split(synth):
     loader.set_epoch(1)
     b3 = [b["indices"].tolist() for b in loader]
     assert b1 != b3  # reshuffles across epochs
+
+
+def test_native_loader_matches_pil(synth):
+    from dream_tpu.data import native_loader
+
+    if not native_loader.native_available():
+        import pytest
+        pytest.skip("native loader not built in this environment")
+
+    ds_native = dream_data.ManipulatorNDDSDataset(
+        (synth.ndds_dataset_data, synth.ndds_dataset_config),
+        "panda", dream_data.DEFAULT_KEYPOINT_NAMES,
+        (96, 96), (24, 24), None, "resize", use_native_loader=True,
+    )
+    ds_pil = dream_data.ManipulatorNDDSDataset(
+        (synth.ndds_dataset_data, synth.ndds_dataset_config),
+        "panda", dream_data.DEFAULT_KEYPOINT_NAMES,
+        (96, 96), (24, 24), None, "resize", use_native_loader=False,
+    )
+    a = ds_native.load_images([0, 2, 4])
+    b = ds_pil.load_images([0, 2, 4])
+    np.testing.assert_array_equal(a, b)
