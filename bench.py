@@ -38,7 +38,9 @@ def main():
     from dream_tpu.ops.belief_maps import keypoints_from_belief_maps
     from dream_tpu.ops.image_proc import preprocess_and_normalize
 
-    model = DreamHourglass(n_keypoints=7)
+    # bf16 conv compute on the MXU (params f32, belief maps decoded in f32) —
+    # the production inference configuration.
+    model = DreamHourglass(n_keypoints=7, dtype=jnp.bfloat16)
     key = jax.random.PRNGKey(0)
     init_img = jnp.zeros((1, 400, 400, 3), jnp.float32)
     variables = jax.jit(model.init)(key, init_img)

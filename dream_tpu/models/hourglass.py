@@ -18,7 +18,7 @@ with the reference's pretrained encoders (reference dream/models.py:587).
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Any, List, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -38,11 +38,12 @@ class _VggDownBlock(nn.Module):
 
     features: int
     n_convs: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         for i in range(self.n_convs):
-            x = nn.relu(conv3x3(self.features, name=f"conv{i}")(x))
+            x = nn.relu(conv3x3(self.features, name=f"conv{i}", dtype=self.dtype)(x))
         return x
 
 
@@ -54,17 +55,18 @@ class _DeconvBlock(nn.Module):
 
     features: int
     with_conv: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         x = nn.relu(
             TorchConvTranspose(
                 self.features, kernel_size=3, stride=2, padding=1, output_padding=1,
-                name="deconv",
+                name="deconv", dtype=self.dtype,
             )(x)
         )
         if self.with_conv:
-            x = nn.relu(conv3x3(self.features, name="conv")(x))
+            x = nn.relu(conv3x3(self.features, name="conv", dtype=self.dtype)(x))
         return x
 
 
@@ -74,12 +76,13 @@ class _UpsampleBlock(nn.Module):
 
     mid_features: int
     out_features: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         x = upsample_nearest(x, 2)
-        x = nn.relu(conv3x3(self.mid_features, name="conv0")(x))
-        return conv3x3(self.out_features, name="conv1")(x)
+        x = nn.relu(conv3x3(self.mid_features, name="conv0", dtype=self.dtype)(x))
+        return conv3x3(self.out_features, name="conv1", dtype=self.dtype)(x)
 
 
 class _UpsampleBlockFull(nn.Module):
@@ -87,24 +90,30 @@ class _UpsampleBlockFull(nn.Module):
     (reference dream/models.py:712-733)."""
 
     features: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         x = upsample_nearest(x, 2)
-        x = nn.relu(conv3x3(self.features, name="conv0")(x))
-        return nn.relu(conv3x3(self.features, name="conv1")(x))
+        x = nn.relu(conv3x3(self.features, name="conv0", dtype=self.dtype)(x))
+        return nn.relu(conv3x3(self.features, name="conv1", dtype=self.dtype)(x))
 
 
 class _BeliefHead(nn.Module):
     """64 -> 64 -> 32 -> n_keypoints belief head (reference dream/models.py:736-747)."""
 
     n_keypoints: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = nn.relu(conv3x3(64, name="conv0")(x))
-        x = nn.relu(conv3x3(32, name="conv1")(x))
-        return conv3x3(self.n_keypoints, name="conv2")(x)
+        x = nn.relu(conv3x3(64, name="conv0", dtype=self.dtype)(x))
+        x = nn.relu(conv3x3(32, name="conv1", dtype=self.dtype)(x))
+        # Belief maps return in float32 for stable loss/decode regardless of
+        # the compute dtype.
+        return conv3x3(self.n_keypoints, name="conv2", dtype=self.dtype)(x).astype(
+            jnp.float32
+        )
 
 
 class DreamHourglass(nn.Module):
@@ -124,45 +133,47 @@ class DreamHourglass(nn.Module):
     skip_connections: bool = False
     deconv_decoder: bool = False
     full_output: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         # Encoder: VGG19 feature slices (reference dream/models.py:587-615).
-        x_0_1 = _VggDownBlock(64, 2, name="down1")(x)
+        x = x.astype(self.dtype)
+        x_0_1 = _VggDownBlock(64, 2, name="down1", dtype=self.dtype)(x)
         x_0_1_d = max_pool_torch(x_0_1)
-        x_0_2 = _VggDownBlock(128, 2, name="down2")(x_0_1_d)
+        x_0_2 = _VggDownBlock(128, 2, name="down2", dtype=self.dtype)(x_0_1_d)
         x_0_2_d = max_pool_torch(x_0_2)
-        x_0_3 = _VggDownBlock(256, 4, name="down3")(x_0_2_d)
+        x_0_3 = _VggDownBlock(256, 4, name="down3", dtype=self.dtype)(x_0_2_d)
         x_0_3_d = max_pool_torch(x_0_3)
-        x_0_4 = _VggDownBlock(512, 4, name="down4")(x_0_3_d)
+        x_0_4 = _VggDownBlock(512, 4, name="down4", dtype=self.dtype)(x_0_3_d)
         x_0_4_d = max_pool_torch(x_0_4)
-        x_0_5 = _VggDownBlock(512, 4, name="down5")(x_0_4_d)
+        x_0_5 = _VggDownBlock(512, 4, name="down5", dtype=self.dtype)(x_0_4_d)
 
         decoder_input = x_0_5 + x_0_4_d if self.skip_connections else x_0_5
 
         if self.deconv_decoder:
-            y = _DeconvBlock(256, name="deconv4")(decoder_input)
-            y = _DeconvBlock(128, name="deconv3")(
+            y = _DeconvBlock(256, name="deconv4", dtype=self.dtype)(decoder_input)
+            y = _DeconvBlock(128, name="deconv3", dtype=self.dtype)(
                 y + x_0_3_d if self.skip_connections else y
             )
-            y = _DeconvBlock(64, name="deconv2")(
+            y = _DeconvBlock(64, name="deconv2", dtype=self.dtype)(
                 y + x_0_2_d if self.skip_connections else y
             )
-            y = _DeconvBlock(64, with_conv=False, name="deconv1")(
+            y = _DeconvBlock(64, with_conv=False, name="deconv1", dtype=self.dtype)(
                 y + x_0_1_d if self.skip_connections else y
             )
             head_in = y + x_0_1 if self.skip_connections else y
         else:
-            y = _UpsampleBlock(256, 256, name="upsample4")(decoder_input)
-            y = _UpsampleBlock(128, 64, name="upsample3")(
+            y = _UpsampleBlock(256, 256, name="upsample4", dtype=self.dtype)(decoder_input)
+            y = _UpsampleBlock(128, 64, name="upsample3", dtype=self.dtype)(
                 y + x_0_3_d if self.skip_connections else y
             )
             if self.full_output:
-                y = _UpsampleBlockFull(64, name="upsample2")(y)
-                y = _UpsampleBlockFull(64, name="upsample1")(y)
+                y = _UpsampleBlockFull(64, name="upsample2", dtype=self.dtype)(y)
+                y = _UpsampleBlockFull(64, name="upsample1", dtype=self.dtype)(y)
             head_in = y
 
-        belief_maps = _BeliefHead(self.n_keypoints, name="head")(head_in)
+        belief_maps = _BeliefHead(self.n_keypoints, name="head", dtype=self.dtype)(head_in)
 
         outputs = [belief_maps]
         if self.internalize_spatial_softmax:
@@ -198,6 +209,7 @@ class DreamHourglassMultiStage(nn.Module):
     skip_connections: bool = False
     deconv_decoder: bool = False
     full_output: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -224,6 +236,7 @@ class DreamHourglassMultiStage(nn.Module):
                 skip_connections=self.skip_connections,
                 deconv_decoder=self.deconv_decoder,
                 full_output=self.full_output,
+                dtype=self.dtype,
                 name=f"stage{stage + 1}",
             )(stage_in)
             prev = stage_out[0]

@@ -15,7 +15,7 @@ alignment:
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +27,7 @@ class TorchConvTranspose(nn.Module):
 
     Parameter layout is ``[kh, kw, in_ch, out_ch]`` (HWIO).  Weight converters
     from torch must transpose torch's ``[in, out, kh, kw]`` and flip the
-    spatial taps.
+    spatial taps.  ``dtype`` is the computation dtype (params stay float32).
     """
 
     features: int
@@ -36,6 +36,7 @@ class TorchConvTranspose(nn.Module):
     padding: int = 1
     output_padding: int = 0
     use_bias: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -48,8 +49,8 @@ class TorchConvTranspose(nn.Module):
         )
         pad = (k - 1 - p, k - 1 - p + op)
         y = jax.lax.conv_general_dilated(
-            x,
-            kernel,
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
             window_strides=(1, 1),
             padding=(pad, pad),
             lhs_dilation=(s, s),
@@ -57,7 +58,7 @@ class TorchConvTranspose(nn.Module):
         )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
-            y = y + bias
+            y = y + bias.astype(self.dtype)
         return y
 
 
@@ -84,18 +85,15 @@ def upsample_nearest(x, factor: int = 2):
     return x.reshape(b, h * factor, w * factor, c)
 
 
-def conv3x3(features: int, name: str | None = None) -> nn.Conv:
+def conv3x3(features: int, name: str | None = None, dtype: Any = jnp.float32) -> nn.Conv:
     """3x3 stride-1 pad-1 conv (torch Conv2d(k=3,s=1,p=1) == SAME)."""
-    return nn.Conv(features, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)), name=name)
+    return nn.Conv(
+        features, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)), name=name,
+        dtype=dtype,
+    )
 
 
-def conv1x1(features: int, name: str | None = None) -> nn.Conv:
-    return nn.Conv(features, (1, 1), strides=(1, 1), padding="VALID", name=name)
-
-
-class ConvReLU(nn.Module):
-    features: int
-
-    @nn.compact
-    def __call__(self, x):
-        return nn.relu(conv3x3(self.features)(x))
+def conv1x1(features: int, name: str | None = None, dtype: Any = jnp.float32) -> nn.Conv:
+    return nn.Conv(
+        features, (1, 1), strides=(1, 1), padding="VALID", name=name, dtype=dtype
+    )

@@ -12,7 +12,7 @@ training, ``train=False`` for inference.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -22,9 +22,10 @@ from dream_tpu.models.layers import TorchConvTranspose, max_pool_torch
 _BN_MOMENTUM = 0.9  # torch BN_MOMENTUM = 0.1 (reference dream/models.py:35)
 
 
-def _bn(name: str, train: bool) -> nn.BatchNorm:
+def _bn(name: str, train: bool, dtype=jnp.float32) -> nn.BatchNorm:
     return nn.BatchNorm(
-        use_running_average=not train, momentum=_BN_MOMENTUM, epsilon=1e-5, name=name
+        use_running_average=not train, momentum=_BN_MOMENTUM, epsilon=1e-5,
+        name=name, dtype=dtype,
     )
 
 
@@ -34,12 +35,14 @@ class Bottleneck(nn.Module):
     features: int
     stride: int = 1
     downsample: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         identity = x
-        out = nn.Conv(self.features, (1, 1), use_bias=False, name="conv1")(x)
-        out = _bn("bn1", train)(out)
+        out = nn.Conv(self.features, (1, 1), use_bias=False, name="conv1",
+                      dtype=self.dtype)(x)
+        out = _bn("bn1", train, self.dtype)(out)
         out = nn.relu(out)
         out = nn.Conv(
             self.features,
@@ -48,11 +51,13 @@ class Bottleneck(nn.Module):
             padding=((1, 1), (1, 1)),
             use_bias=False,
             name="conv2",
+            dtype=self.dtype,
         )(out)
-        out = _bn("bn2", train)(out)
+        out = _bn("bn2", train, self.dtype)(out)
         out = nn.relu(out)
-        out = nn.Conv(self.features * 4, (1, 1), use_bias=False, name="conv3")(out)
-        out = _bn("bn3", train)(out)
+        out = nn.Conv(self.features * 4, (1, 1), use_bias=False, name="conv3",
+                      dtype=self.dtype)(out)
+        out = _bn("bn3", train, self.dtype)(out)
         if self.downsample:
             identity = nn.Conv(
                 self.features * 4,
@@ -60,8 +65,9 @@ class Bottleneck(nn.Module):
                 strides=(self.stride, self.stride),
                 use_bias=False,
                 name="downsample_conv",
+                dtype=self.dtype,
             )(x)
-            identity = _bn("downsample_bn", train)(identity)
+            identity = _bn("downsample_bn", train, self.dtype)(identity)
         return nn.relu(out + identity)
 
 
@@ -69,14 +75,16 @@ class _ResNetLayer(nn.Module):
     features: int
     n_blocks: int
     stride: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = Bottleneck(
-            self.features, stride=self.stride, downsample=True, name="block0"
+            self.features, stride=self.stride, downsample=True, name="block0",
+            dtype=self.dtype,
         )(x, train)
         for i in range(1, self.n_blocks):
-            x = Bottleneck(self.features, name=f"block{i}")(x, train)
+            x = Bottleneck(self.features, name=f"block{i}", dtype=self.dtype)(x, train)
         return x
 
 
@@ -84,13 +92,15 @@ class _DeconvBNRelu(nn.Module):
     """ConvTranspose(k4,s2,p1) + BN + ReLU (reference dream/models.py:37-77)."""
 
     features: int = 256
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = TorchConvTranspose(
-            self.features, kernel_size=4, stride=2, padding=1, name="deconv"
+            self.features, kernel_size=4, stride=2, padding=1, name="deconv",
+            dtype=self.dtype,
         )(x)
-        x = _bn("bn", train)(x)
+        x = _bn("bn", train, self.dtype)(x)
         return nn.relu(x)
 
 
@@ -104,27 +114,29 @@ class ResnetSimple(nn.Module):
     n_keypoints: int = 7
     full: bool = False
     layers: Sequence[int] = (3, 4, 23, 3)  # resnet101
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
         x = nn.Conv(
             64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)), use_bias=False,
-            name="conv1",
+            name="conv1", dtype=self.dtype,
         )(x)
-        x = _bn("bn1", train)(x)
+        x = _bn("bn1", train, self.dtype)(x)
         x = nn.relu(x)
         x = max_pool_torch(x, window=3, stride=2, padding=1)
 
-        x = _ResNetLayer(64, self.layers[0], stride=1, name="layer1")(x, train)
-        x = _ResNetLayer(128, self.layers[1], stride=2, name="layer2")(x, train)
-        x = _ResNetLayer(256, self.layers[2], stride=2, name="layer3")(x, train)
-        x = _ResNetLayer(512, self.layers[3], stride=2, name="layer4")(x, train)
+        x = _ResNetLayer(64, self.layers[0], stride=1, name="layer1", dtype=self.dtype)(x, train)
+        x = _ResNetLayer(128, self.layers[1], stride=2, name="layer2", dtype=self.dtype)(x, train)
+        x = _ResNetLayer(256, self.layers[2], stride=2, name="layer3", dtype=self.dtype)(x, train)
+        x = _ResNetLayer(512, self.layers[3], stride=2, name="layer4", dtype=self.dtype)(x, train)
 
         for i in range(4):
-            x = _DeconvBNRelu(256, name=f"up{i}")(x, train)
+            x = _DeconvBNRelu(256, name=f"up{i}", dtype=self.dtype)(x, train)
 
         if self.full:
-            x = _DeconvBNRelu(256, name="up4")(x, train)
+            x = _DeconvBNRelu(256, name="up4", dtype=self.dtype)(x, train)
 
-        x = nn.Conv(self.n_keypoints, (1, 1), name="head")(x)
-        return [x]
+        x = nn.Conv(self.n_keypoints, (1, 1), name="head", dtype=self.dtype)(x)
+        return [x.astype(jnp.float32)]

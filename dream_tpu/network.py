@@ -133,6 +133,13 @@ class DreamNetwork:
         self.belief_peak_next_best_score = 0.25
 
         # --- model construction (reference dream/network.py:193-298) ---
+        # Optional compute-dtype policy (TPU-native extension; params stay
+        # float32, conv compute runs in e.g. bfloat16 on the MXU).
+        compute_dtype_name = arch.get("compute_dtype", "float32")
+        self.compute_dtype = {
+            "float32": jnp.float32,
+            "bfloat16": jnp.bfloat16,
+        }[compute_dtype_name]
         self._arch_kwargs: Dict[str, Any] = {}
         if self.architecture_type == "vgg":
             vgg_kwargs: Dict[str, Any] = {}
@@ -159,11 +166,13 @@ class DreamNetwork:
                 self.model = dream_models.DreamHourglassMultiStage(
                     n_keypoints=self.n_keypoints,
                     n_stages=arch["n_stages"],
+                    dtype=self.compute_dtype,
                     **vgg_kwargs,
                 )
             else:
                 self.model = dream_models.DreamHourglass(
-                    n_keypoints=self.n_keypoints, **vgg_kwargs
+                    n_keypoints=self.n_keypoints, dtype=self.compute_dtype,
+                    **vgg_kwargs
                 )
             self._arch_kwargs = {
                 "deconv_decoder": vgg_kwargs.get("deconv_decoder", False),
@@ -177,7 +186,8 @@ class DreamNetwork:
             if "full_decoder" in arch:
                 resnet_kwargs["full"] = arch["full_decoder"]
             self.model = dream_models.ResnetSimple(
-                n_keypoints=self.n_keypoints, **resnet_kwargs
+                n_keypoints=self.n_keypoints, dtype=self.compute_dtype,
+                **resnet_kwargs
             )
             self._arch_kwargs = {"full": resnet_kwargs.get("full", False)}
             self._has_batch_stats = True

@@ -109,39 +109,54 @@ def _gaussian_kernel_scipy(sigma: float, truncate: float = 4.0):
     return (phi / np.sum(phi)).astype(np.float32), radius
 
 
+@functools.lru_cache(maxsize=None)
+def _blur_operator(n: int, sigma: float, truncate: float = 4.0):
+    """Dense [n, n] 1D blur operator with scipy 'reflect' boundary folding.
+
+    Row i holds the taps that produce blurred[i] from the unpadded signal:
+    the Gaussian kernel centered at i with out-of-range taps folded back by
+    reflect-101-style symmetric reflection.  Blur then becomes
+    ``T_h @ map @ T_w^T`` — two dense matmuls that run on the MXU instead of
+    a 25-tap sliding conv (belief maps are ~100-416 px, so the dense operator
+    is small and the matmul formulation is both faster and fusion-friendly).
+    """
+    import numpy as np
+
+    kernel, radius = _gaussian_kernel_scipy(sigma, truncate)
+    op = np.zeros((n, n), dtype=np.float32)
+    period = 2 * n
+    for i in range(n):
+        for t in range(-radius, radius + 1):
+            j = i + t
+            # scipy 'reflect' (= numpy symmetric): ...b a | a b c d | d c...
+            j_mod = j % period
+            if j_mod < 0:
+                j_mod += period
+            j_fold = j_mod if j_mod < n else period - 1 - j_mod
+            op[i, j_fold] += kernel[t + radius]
+    return op
+
+
 def gaussian_blur_scipy_compat(maps, sigma: float = PEAK_BLUR_SIGMA):
     """Separable Gaussian blur matching scipy.ndimage.gaussian_filter defaults.
 
     Args:
       maps: ``[..., H, W]`` arrays; blur applies over the last two dims.
 
-    Uses 'reflect' boundary mode (scipy default) via explicit padding, then a
-    valid separable convolution.  Replaces the scipy call at reference
-    dream/image_proc.py:935.
+    Implemented as two dense matmuls against precomputed boundary-folded blur
+    operators (see :func:`_blur_operator`) — the TPU-native formulation of
+    the scipy call at reference dream/image_proc.py:935.
     """
-    kernel, radius = _gaussian_kernel_scipy(float(sigma))
     x = jnp.asarray(maps, dtype=jnp.float32)
-    batch_shape = x.shape[:-2]
     h, wdt = x.shape[-2], x.shape[-1]
-    x = x.reshape((-1, h, wdt))
-
-    # Reflect-pad ("symmetric" in jnp terms: scipy 'reflect' == (d c b a | a b c d))
-    xp = jnp.pad(x, ((0, 0), (radius, radius), (radius, radius)), mode="symmetric")
-
-    # Separable conv along rows then cols via conv_general_dilated with a
-    # single feature channel; batch dim carries the map index.
-    def conv1d(arr, axis):
-        k = kernel.reshape((-1, 1) if axis == 1 else (1, -1))
-        return jax.lax.conv_general_dilated(
-            arr[:, None, :, :],
-            k[None, None, :, :],
-            window_strides=(1, 1),
-            padding="VALID",
-        )[:, 0]
-
-    out = conv1d(xp, axis=1)  # blur rows (vertical)
-    out = conv1d(out, axis=2)  # blur cols (horizontal)
-    return out.reshape(batch_shape + (h, wdt))
+    t_h = jnp.asarray(_blur_operator(h, float(sigma)))
+    t_w = jnp.asarray(_blur_operator(wdt, float(sigma)))
+    # blurred = T_h @ map @ T_w^T over the trailing two dims.
+    out = jnp.einsum(
+        "ij,...jk,lk->...il", t_h, x, t_w,
+        preferred_element_type=jnp.float32,
+    )
+    return out
 
 
 def _shift2d(a, dy: int, dx: int):
@@ -263,16 +278,31 @@ def keypoints_from_belief_maps(
     use_belief_peak_scores: bool = True,
     belief_peak_next_best_score: float = SCORE_GAP_THRESHOLD,
     max_peaks: int = DEFAULT_MAX_PEAKS,
+    decode_backend: str = "auto",
 ):
     """Full keypoint decode: peaks + multi-peak disambiguation.
 
     Returns ``(keypoints [..., 2], peaks dict)`` where unresolvable maps get
     the ``(-999.999, -999.999)`` sentinel.  Parity with reference
     dream/network.py:540-577.
+
+    ``decode_backend``: 'auto' uses the fused Pallas kernel on TPU and the
+    XLA composite elsewhere; 'pallas'/'xla' force a choice.
     """
-    peaks = peaks_from_belief_maps(
-        belief_maps, offset_due_to_upsampling, max_peaks=max_peaks
-    )
+    import jax
+
+    if decode_backend == "auto":
+        decode_backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if decode_backend == "pallas":
+        from dream_tpu.ops.pallas_kernels import peaks_from_belief_maps_pallas
+
+        peaks = peaks_from_belief_maps_pallas(
+            belief_maps, float(offset_due_to_upsampling), max_peaks=max_peaks
+        )
+    else:
+        peaks = peaks_from_belief_maps(
+            belief_maps, offset_due_to_upsampling, max_peaks=max_peaks
+        )
     count = peaks["count"]
     best = peaks["coords"][..., 0, :]
     best_score = peaks["scores"][..., 0]
