@@ -11,6 +11,7 @@ from dream_tpu.ops import belief_maps as belief_maps
 from dream_tpu.ops import image_proc as image_proc
 from dream_tpu.ops import geometric_vision as geometric_vision
 from dream_tpu.ops import spatial_softmax as spatial_softmax
+from dream_tpu.ops import pil_compat as pil_compat
 
 from dream_tpu.ops.coords import (
     KeypointAffine,

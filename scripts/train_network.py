@@ -294,6 +294,11 @@ def train_network(args):
         this_epoch = e + 1
         print(f"Epoch {this_epoch} ------------")
 
+        # Optional device trace of one steady-state epoch (TPU-native
+        # observability; the reference has no profiling, SURVEY.md section 5).
+        if args.profile_dir and e == start_epoch + 1:
+            jax.profiler.start_trace(args.profile_dir)
+
         # Training phase.
         training_batch_losses = []
         training_batch_sample_names = []
@@ -363,6 +368,10 @@ def train_network(args):
                     args.output_dir, "best_network", overwrite=True
                 )
 
+        if args.profile_dir and e == start_epoch + 1:
+            jax.profiler.stop_trace()
+            print(f"Wrote device trace to {args.profile_dir}")
+
         this_epoch_timestamp = time.time() - training_start_time
         print(f"This epoch took {this_epoch_timestamp - last_epoch_timestamp} seconds.\n")
         last_epoch_timestamp = this_epoch_timestamp
@@ -386,21 +395,30 @@ def train_network(args):
             if os.path.exists(last_log):
                 os.remove(last_log)
 
-            dream_network.save_network(
-                args.output_dir, f"epoch_{this_epoch}", overwrite=True
-            )
-            with open(
-                os.path.join(args.output_dir, f"epoch_{this_epoch}.opt.msgpack"), "wb"
-            ) as f:
-                f.write(serialization.to_bytes(dream_network.opt_state))
-            prev_params = os.path.join(args.output_dir, f"epoch_{e}.msgpack")
-            for stale in [
-                prev_params,
-                prev_params.replace(".msgpack", ".yaml"),
-                prev_params.replace(".msgpack", ".opt.msgpack"),
-            ]:
-                if os.path.exists(stale) and e > 0:
-                    os.remove(stale)
+            # --checkpoint-every thins epoch checkpoints for long runs (host
+            # serialization of the full params+opt state is the dominant
+            # per-epoch cost); default 1 == reference parity (checkpoint
+            # every epoch, reference scripts/train_network.py:641-659).
+            if this_epoch % args.checkpoint_every == 0 or this_epoch == args.epochs:
+                dream_network.save_network(
+                    args.output_dir, f"epoch_{this_epoch}", overwrite=True
+                )
+                with open(
+                    os.path.join(args.output_dir, f"epoch_{this_epoch}.opt.msgpack"),
+                    "wb",
+                ) as f:
+                    f.write(serialization.to_bytes(dream_network.opt_state))
+                for old_epoch in range(1, this_epoch):
+                    prev_params = os.path.join(
+                        args.output_dir, f"epoch_{old_epoch}.msgpack"
+                    )
+                    for stale in [
+                        prev_params,
+                        prev_params.replace(".msgpack", ".yaml"),
+                        prev_params.replace(".msgpack", ".opt.msgpack"),
+                    ]:
+                        if os.path.exists(stale):
+                            os.remove(stale)
 
     if save_results:
         final_log = os.path.join(args.output_dir, "training_log.pkl")
@@ -436,6 +454,11 @@ def make_parser():
                         help="Data-parallel mesh axis size (replaces --gpu-ids).")
     parser.add_argument("--mesh-model", type=int, default=1,
                         help="Model-parallel mesh axis size.")
+    parser.add_argument("--profile-dir", default=None,
+                        help="Write a jax.profiler device trace of one epoch.")
+    parser.add_argument("--checkpoint-every", type=int, default=1,
+                        help="Save epoch_N checkpoints every N epochs "
+                             "(best_network is always saved when improved).")
     parser.add_argument("-s", "--random-seed", type=int)
     parser.add_argument("-v", "--verbose", action="store_true", default=False)
     parser.add_argument("-r", "--resume-training", action="store_true", default=False)
