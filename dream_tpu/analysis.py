@@ -571,6 +571,104 @@ def _write_analysis_report(
         f.write("\n".join(lines) + "\n")
 
 
+def sample_range_analysis(
+    raw_images,
+    sample_kp_proj_detected_netout,
+    sample_kp_proj_gt_netout,
+    sample_belief_maps,
+    sample_names,
+    sample_ranks,
+    image_prefix,
+    output_dir,
+    keypoint_names,
+    images_net_input,
+):
+    """Per-sample visual diagnostics over a rank range.
+
+    For each sample writes: a belief-map mosaic, a belief-map mosaic with
+    GT (green) + detected (red) keypoint overlays, and a net-input overlay
+    with both keypoint sets.  Parity: reference dream/analysis.py:997-1189.
+
+    Args mirror the reference; ``images_net_input`` is a list of PIL images
+    (or [B, h, w, 3] float array in [0, 1]).
+    """
+    import math as _math
+
+    import numpy as np
+    from PIL import Image as PILImage
+
+    from dream_tpu import visualize as viz
+    from dream_tpu.ops import coords as _coords
+
+    n_keypoints = len(keypoint_names)
+    n_cols = int(_math.ceil(n_keypoints / 2.0))
+
+    if not isinstance(images_net_input, (list, tuple)):
+        arr = np.asarray(images_net_input)
+        images_net_input = [
+            PILImage.fromarray(np.uint8(np.clip(a * 255.0, 0, 255))) for a in arr
+        ]
+
+    net_output_res = (
+        np.asarray(sample_belief_maps[0]).shape[2],
+        np.asarray(sample_belief_maps[0]).shape[1],
+    )
+
+    for (kp_det, kp_gt, belief_maps, name, rank, net_in_img) in zip(
+        sample_kp_proj_detected_netout,
+        sample_kp_proj_gt_netout,
+        sample_belief_maps,
+        sample_names,
+        sample_ranks,
+        images_net_input,
+    ):
+        kp_det = np.asarray(kp_det)
+        kp_gt = np.asarray(kp_gt)
+        belief_map_images = viz.images_from_belief_maps(
+            np.asarray(belief_maps), normalization_method=6
+        )
+
+        viz.mosaic_images(
+            belief_map_images, rows=2, cols=n_cols, inner_padding_px=10
+        ).save(
+            os.path.join(
+                output_dir, f"{image_prefix}_belief_maps_rank_{rank}_id_{name}.png"
+            )
+        )
+
+        kp_overlaid = [
+            viz.overlay_points_on_image(
+                belief_map_images[k],
+                [kp_gt[k], kp_det[k]],
+                annotation_color_dot=["green", "red"],
+                point_diameter=4,
+            )
+            for k in range(n_keypoints)
+        ]
+        viz.mosaic_images(
+            kp_overlaid, rows=2, cols=n_cols, inner_padding_px=10
+        ).save(
+            os.path.join(
+                output_dir, f"{image_prefix}_belief_maps_kp_rank_{rank}_id_{name}.png"
+            )
+        )
+
+        to_netin = _coords.affine_netin_from_netout(net_output_res, net_in_img.size)
+        overlay = viz.overlay_points_on_image(
+            net_in_img, to_netin.apply_numpy(kp_gt),
+            annotation_color_dot="green", point_diameter=4,
+        )
+        overlay = viz.overlay_points_on_image(
+            overlay, to_netin.apply_numpy(kp_det),
+            annotation_color_dot="red", point_diameter=4,
+        )
+        overlay.save(
+            os.path.join(
+                output_dir, f"{image_prefix}_net_input_kp_rank_{rank}_id_{name}.png"
+            )
+        )
+
+
 def _write_sample_mosaics(output_dir, dataset, sample_results, network, process):
     """Best/median/worst sample visualization mosaics
     (reference dream/analysis.py:504-751, simplified composition)."""

@@ -364,6 +364,57 @@ class DreamNetwork:
 
         return eval_loss
 
+    def enable_fused_training(self, batch_processor):
+        """Fuse the device-side batch processor into the train step.
+
+        ``batch_processor`` is a (possibly jitted) function
+        ``(key, raw_images_u8, kp_projs_raw) -> batch dict`` from
+        dream_tpu.data.make_batch_processor; jit-inlining it here makes the
+        whole step — preprocess, augment, GT belief-map synthesis, forward,
+        backward, optimizer update — ONE device dispatch with no intermediate
+        HBM round trips (TPU-native; no reference counterpart, whose pipeline
+        crosses the DataLoader process boundary every batch).
+        """
+        self.enable_training()
+
+        optimizer = self.optimizer
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def fused_step(variables, opt_state, key, raw_images, kp_projs_raw):
+            batch = batch_processor(key, raw_images, kp_projs_raw)
+
+            def compute(params):
+                vars_in = dict(variables, params=params)
+                loss, new_bs = self.loss_fn(
+                    vars_in, batch["image_rgb_input"], batch["belief_maps"],
+                    train=True,
+                )
+                return loss, new_bs
+
+            (loss, new_batch_stats), grads = jax.value_and_grad(
+                compute, has_aux=True
+            )(variables["params"])
+            updates, opt_state = optimizer.update(
+                grads, opt_state, variables["params"]
+            )
+            params = optax.apply_updates(variables["params"], updates)
+            new_vars = dict(variables, params=params)
+            if new_batch_stats is not None:
+                new_vars["batch_stats"] = new_batch_stats
+            return new_vars, opt_state, loss
+
+        self._fused_train_step = fused_step
+
+    def train_raw(self, key, raw_images, kp_projs_raw):
+        """One fused optimization step directly from raw uint8 frames."""
+        assert hasattr(self, "_fused_train_step"), (
+            "Call enable_fused_training(batch_processor) first."
+        )
+        self.variables, self.opt_state, loss = self._fused_train_step(
+            self.variables, self.opt_state, key, raw_images, kp_projs_raw
+        )
+        return loss
+
     def train(self, network_input_heads, target):
         """One optimization step (reference dream/network.py:328-338).
 

@@ -279,6 +279,8 @@ def train_network(args):
         dream_network.image_preprocessing(), dream_network.image_normalization,
         augment=enable_augment_data, include_belief_maps=True,
     )
+    # Fuse the processor into the train step: one device dispatch per batch.
+    dream_network.enable_fused_training(process_train)
     process_valid = dream_data.make_batch_processor(
         image_raw_resolution, trained_net_input_res, trained_net_output_res,
         dream_network.image_preprocessing(), dream_network.image_normalization,
@@ -305,13 +307,10 @@ def train_network(args):
         train_loader.set_epoch(e)
         for batch_idx, host_batch in enumerate(train_loader):
             aug_key, step_key = jax.random.split(aug_key)
-            batch = process_train(
+            loss = dream_network.train_raw(
                 step_key,
                 jnp.asarray(host_batch["image_rgb_raw"]),
                 jnp.asarray(host_batch["keypoint_projections_raw"]),
-            )
-            loss = dream_network.train(
-                [batch["image_rgb_input"]], batch["belief_maps"]
             )
             training_batch_losses.append(float(loss))
             training_batch_sample_names.append(

@@ -110,3 +110,32 @@ def test_csv_writers(tmp_path):
         rows = list(csv.reader(f))
     assert rows[0][:2] == ["name", "pnp_success"]
     assert rows[2][1] == "False"
+
+
+def test_sample_range_analysis(tmp_path):
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from dream_tpu.analysis import sample_range_analysis
+    from dream_tpu.ops.belief_maps import create_belief_maps
+
+    kp = jnp.array([[[10.0, 10.0], [20.0, 15.0], [5.0, 20.0], [15.0, 5.0]]])
+    maps = np.asarray(create_belief_maps(kp, (32, 24)))  # [1, 4, 24, 32]
+    net_in = [Image.new("RGB", (128, 96))]
+
+    sample_range_analysis(
+        raw_images=[None],
+        sample_kp_proj_detected_netout=np.asarray(kp),
+        sample_kp_proj_gt_netout=np.asarray(kp) + 1.0,
+        sample_belief_maps=maps,
+        sample_names=["000001"],
+        sample_ranks=[0],
+        image_prefix="best",
+        output_dir=str(tmp_path),
+        keypoint_names=["a", "b", "c", "d"],
+        images_net_input=net_in,
+    )
+    files = sorted(os.listdir(tmp_path))
+    assert "best_belief_maps_rank_0_id_000001.png" in files
+    assert "best_belief_maps_kp_rank_0_id_000001.png" in files
+    assert "best_net_input_kp_rank_0_id_000001.png" in files

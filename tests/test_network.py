@@ -210,3 +210,37 @@ def test_keypoints_from_image_pipeline():
     assert result["detected_keypoints"].shape == (4, 2)
     assert result["belief_maps"].shape == (4, 16, 16)
     assert result["image_rgb_net_input"].shape == (64, 64, 3)
+
+
+def test_fused_training_matches_unfused():
+    """train_raw (fused processor+step) must optimize like the 2-dispatch
+    path: same loss value on the first step from identical state."""
+    import dream_tpu.data as dream_data
+
+    cfg = _vgg_config()
+    net_a = DreamNetwork(cfg)
+    net_b = DreamNetwork(cfg)
+    net_a.init_variables(seed=3)
+    net_b.init_variables(seed=3)
+
+    processor = dream_data.make_batch_processor(
+        (128, 96), (64, 64), (16, 16), "shrink-and-crop",
+        cfg["architecture"]["image_normalization"],
+        augment=False, include_belief_maps=True,
+    )
+    net_a.enable_training()
+    net_b.enable_fused_training(processor)
+
+    rng = np.random.RandomState(0)
+    raw = jnp.asarray(rng.randint(0, 255, (2, 96, 128, 3), dtype=np.uint8))
+    kp_raw = jnp.asarray(rng.uniform(20, 100, (2, 4, 2)).astype(np.float32))
+
+    batch = processor(jax.random.PRNGKey(0), raw, kp_raw)
+    loss_a = float(net_a.train([batch["image_rgb_input"]], batch["belief_maps"]))
+    loss_b = float(net_b.train_raw(jax.random.PRNGKey(0), raw, kp_raw))
+    np.testing.assert_allclose(loss_a, loss_b, rtol=1e-5)
+
+    # Both make progress over a few steps.
+    for _ in range(5):
+        loss_b = float(net_b.train_raw(jax.random.PRNGKey(0), raw, kp_raw))
+    assert loss_b < loss_a
