@@ -57,7 +57,7 @@ def main():
 
     rng = np.random.RandomState(0)
     results = {}
-    for batch in (16, 32, 64):
+    for batch in (16, 64, 128):
         frames = jnp.asarray(
             rng.randint(0, 255, size=(batch, 480, 640, 3), dtype=np.uint8)
         )

@@ -179,29 +179,14 @@ def _shift_mask(shape, dy, dx):
     return row_ok[:, None] & col_ok[None, :]
 
 
-def _peaks_one_map(map_ori, blurred, offset_due_to_upsampling, max_peaks: int):
-    """Fixed-shape top-K peak extraction for a single [H, W] map."""
+def _subpixel_refine(map_ori, scored, offset_due_to_upsampling, max_peaks: int):
+    """Top-K over a scored map (-inf at non-peaks) + 5x5 subpixel refinement.
+
+    Shared tail of the XLA composite and Pallas decode paths; returns
+    ``(coords [K, 2], scores [K], flat_idx [K])``.
+    """
     h, w = map_ori.shape
-
-    up = _shift2d(blurred, 1, 0)
-    down = _shift2d(blurred, -1, 0)
-    left = _shift2d(blurred, 0, 1)
-    right = _shift2d(blurred, 0, -1)
-    peaks_binary = (
-        (blurred >= up)
-        & (blurred >= down)
-        & (blurred >= left)
-        & (blurred >= right)
-        & (blurred > PEAK_THRESHOLD)
-    )
-
-    count = jnp.sum(peaks_binary.astype(jnp.int32))
-
-    # Rank peak pixels by unblurred score (reference sorts multi-peak lists by
-    # this same score, dream/network.py:555-557).  -inf for non-peaks.
-    neg_inf = jnp.asarray(-jnp.inf, dtype=map_ori.dtype)
-    ranked = jnp.where(peaks_binary, map_ori, neg_inf).reshape(-1)
-    scores, flat_idx = jax.lax.top_k(ranked, max_peaks)
+    scores, flat_idx = jax.lax.top_k(scored.reshape(-1), max_peaks)
     py = flat_idx // w  # integer row
     px = flat_idx % w  # integer col
 
@@ -228,7 +213,32 @@ def _peaks_one_map(map_ori, blurred, offset_due_to_upsampling, max_peaks: int):
     peak_xy = (
         jnp.stack([x_ref, y_ref], axis=-1) + offset_due_to_upsampling
     )  # [K, 2]
+    return peak_xy, scores, flat_idx
 
+
+def _peaks_one_map(map_ori, blurred, offset_due_to_upsampling, max_peaks: int):
+    """Fixed-shape top-K peak extraction for a single [H, W] map."""
+    up = _shift2d(blurred, 1, 0)
+    down = _shift2d(blurred, -1, 0)
+    left = _shift2d(blurred, 0, 1)
+    right = _shift2d(blurred, 0, -1)
+    peaks_binary = (
+        (blurred >= up)
+        & (blurred >= down)
+        & (blurred >= left)
+        & (blurred >= right)
+        & (blurred > PEAK_THRESHOLD)
+    )
+
+    count = jnp.sum(peaks_binary.astype(jnp.int32))
+
+    # Rank peak pixels by unblurred score (reference sorts multi-peak lists by
+    # this same score, dream/network.py:555-557).  -inf for non-peaks.
+    neg_inf = jnp.asarray(-jnp.inf, dtype=map_ori.dtype)
+    scored = jnp.where(peaks_binary, map_ori, neg_inf)
+    peak_xy, scores, _ = _subpixel_refine(
+        map_ori, scored, offset_due_to_upsampling, max_peaks
+    )
     k_valid = jnp.arange(max_peaks) < count
     return peak_xy, scores, k_valid, count
 

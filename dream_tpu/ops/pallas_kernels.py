@@ -1,20 +1,22 @@
-"""Fused Pallas TPU kernel for belief-map peak extraction.
+"""Pallas TPU kernel for the HBM-heavy half of belief-map peak extraction.
 
-One kernel program per belief map fuses the whole decode chain in VMEM —
-Gaussian blur (as two MXU matmuls against precomputed boundary-folded
-operators), 4-neighbor local-max + threshold, iterative top-K peak selection
-with row-major tie-breaking, and 5x5 weighted-average subpixel refinement on
-the unblurred map — writing only the K peak records back to HBM.  This
-replaces four HBM round trips of full maps (blur out, 4 shifted compares,
-top-k gather, window gathers) in the XLA composite version
-(dream_tpu/ops/belief_maps.py) with a single pass; semantics are identical
-(same oracle tests pass against scipy/numpy ports of reference
-dream/image_proc.py:913-1018).
+The decode pipeline splits naturally in two:
 
-The kernel is numerically bit-compatible with
-:func:`dream_tpu.ops.belief_maps.peaks_from_belief_maps` and is selected at
-call sites via ``use_pallas=True`` (TPU only; interpret mode on CPU for
-tests).
+1. **map-sized work** (this kernel): Gaussian blur — two MXU matmuls against
+   precomputed boundary-folded operators — then 4-neighbor local-max +
+   threshold and peak scoring, fused in VMEM.  The XLA composite version
+   (dream_tpu/ops/belief_maps.py) materializes the blurred map and four
+   shifted copies; here each map is read once and only the scored map
+   (-inf at non-peaks) and the peak count are written back.
+2. **peak-sized work** (plain XLA): top-K selection over the scored map and
+   5x5 subpixel refinement — tiny tensors where XLA's native top_k is
+   already optimal (shared tail: belief_maps._subpixel_refine).
+
+Semantics are identical to the composite path (same oracle tests against
+numpy/scipy ports of reference dream/image_proc.py:913-1018).  A fully
+fused single-kernel variant with in-kernel iterative top-K compiled
+pathologically slowly in Mosaic (unrolled global-argmax chain), so this
+split is the production configuration.
 """
 
 from __future__ import annotations
@@ -31,11 +33,11 @@ from dream_tpu.ops.belief_maps import (
     PEAK_BLUR_SIGMA,
     PEAK_THRESHOLD,
     _blur_operator,
+    _subpixel_refine,
 )
 
 
-def _decode_kernel(map_ref, th_ref, tw_ref, coords_ref, scores_ref, count_ref,
-                   *, max_peaks: int, offset: float):
+def _score_kernel(map_ref, th_ref, tw_ref, scored_ref, count_ref):
     m = map_ref[0]  # [H, W] unblurred map
     h, w = m.shape
 
@@ -50,9 +52,8 @@ def _decode_kernel(map_ref, th_ref, tw_ref, coords_ref, scores_ref, count_ref,
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
 
     # 4-neighbor comparisons with zero fill at the borders
-    # (reference dream/image_proc.py:937-954).
-    # pltpu.roll is circular with non-negative shift; border rows/cols are
-    # masked to zero afterwards.
+    # (reference dream/image_proc.py:937-954).  pltpu.roll is circular with
+    # non-negative shift; vacated rows/cols are masked to zero.
     up = jnp.where(row_ids >= 1, pltpu.roll(blurred, 1, axis=0), 0.0)
     down = jnp.where(row_ids < h - 1, pltpu.roll(blurred, h - 1, axis=0), 0.0)
     left = jnp.where(col_ids >= 1, pltpu.roll(blurred, 1, axis=1), 0.0)
@@ -65,41 +66,8 @@ def _decode_kernel(map_ref, th_ref, tw_ref, coords_ref, scores_ref, count_ref,
         & (blurred > PEAK_THRESHOLD)
     )
 
-    count_ref[0, 0] = jnp.sum(peaks_mask.astype(jnp.int32))
-
-    neg_inf = jnp.float32(-jnp.inf)
-    lin_ids = row_ids * w + col_ids
-    big = jnp.int32(h * w)
-
-    scores = jnp.where(peaks_mask, m, neg_inf)
-
-    # Iterative top-K (statically unrolled; K is small).  Ties break to the
-    # smallest linear index == row-major first occurrence, matching the
-    # reference's stable sort over np.nonzero order.
-    for k in range(max_peaks):
-        mx = jnp.max(scores)
-        is_max = scores == mx
-        lin = jnp.min(jnp.where(is_max, lin_ids, big))
-        py = lin // w
-        px = lin % w
-
-        # 5x5 window weighted average on the unblurred map; out-of-frame taps
-        # contribute zero weight AND zero coordinate (reference :960-998).
-        in_win = (jnp.abs(row_ids - py) <= 2) & (jnp.abs(col_ids - px) <= 2)
-        weights = jnp.where(in_win, m, 0.0)
-        wsum = jnp.sum(weights)
-        x_avg = jnp.sum(col_ids.astype(jnp.float32) * weights) / wsum
-        y_avg = jnp.sum(row_ids.astype(jnp.float32) * weights) / wsum
-        zero_w = wsum == 0.0
-        x_out = jnp.where(zero_w, px.astype(jnp.float32), x_avg) + offset
-        y_out = jnp.where(zero_w, py.astype(jnp.float32), y_avg) + offset
-
-        coords_ref[0, k, 0] = x_out
-        coords_ref[0, k, 1] = y_out
-        scores_ref[0, k] = mx
-
-        # Knock out the selected pixel for the next iteration.
-        scores = jnp.where(lin_ids == lin, neg_inf, scores)
+    count_ref[0, 0, 0] = jnp.sum(peaks_mask.astype(jnp.int32))
+    scored_ref[0] = jnp.where(peaks_mask, m, -jnp.inf)
 
 
 @functools.partial(
@@ -111,7 +79,7 @@ def peaks_from_belief_maps_pallas(
     max_peaks: int = DEFAULT_MAX_PEAKS,
     interpret: bool = False,
 ):
-    """Fused decode; same contract as belief_maps.peaks_from_belief_maps."""
+    """Fused-blur decode; same contract as belief_maps.peaks_from_belief_maps."""
     x = jnp.asarray(belief_maps, dtype=jnp.float32)
     batch_shape = x.shape[:-2]
     h, w = x.shape[-2], x.shape[-1]
@@ -121,11 +89,8 @@ def peaks_from_belief_maps_pallas(
     t_h = jnp.asarray(_blur_operator(h, float(PEAK_BLUR_SIGMA)))
     t_w = jnp.asarray(_blur_operator(w, float(PEAK_BLUR_SIGMA)))
 
-    kernel = functools.partial(
-        _decode_kernel, max_peaks=max_peaks, offset=float(offset)
-    )
-    coords, scores, count = pl.pallas_call(
-        kernel,
+    scored, count = pl.pallas_call(
+        _score_kernel,
         grid=(n,),
         in_specs=[
             pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -133,20 +98,23 @@ def peaks_from_belief_maps_pallas(
             pl.BlockSpec((w, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, max_peaks, 2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, max_peaks), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, max_peaks, 2), jnp.float32),
-            jax.ShapeDtypeStruct((n, max_peaks), jnp.float32),
-            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1, 1), jnp.int32),
         ],
         interpret=interpret,
     )(flat, t_h, t_w)
+    count = count[:, 0, 0]
 
-    count = count[:, 0]
+    # Peak-sized tail in plain XLA: top-K + subpixel refinement.
+    coords, scores, _ = jax.vmap(
+        lambda mp, sc: _subpixel_refine(mp, sc, offset, max_peaks)
+    )(flat, scored)
     k_valid = jnp.arange(max_peaks)[None, :] < count[:, None]
+
     return {
         "coords": coords.reshape(batch_shape + (max_peaks, 2)),
         "scores": scores.reshape(batch_shape + (max_peaks,)),
