@@ -364,6 +364,46 @@ class DreamNetwork:
 
         return eval_loss
 
+    def shard_for_mesh(self, mesh):
+        """Place parameters (and future batches) on a (data, model) mesh.
+
+        TPU-native replacement for DataParallel placement (reference
+        dream/network.py:244-284): parameters are replicated (or channel-
+        sharded over the model axis per dream_tpu.parallel.param_shardings);
+        batches are sharded over the data axis by :meth:`train_raw` /
+        :meth:`train`.  XLA inserts the gradient all-reduce over ICI.
+        """
+        from dream_tpu import parallel as dream_parallel
+
+        self.init_variables()
+        self._mesh = mesh
+        self.variables = {
+            k: (
+                jax.device_put(
+                    v, dream_parallel.param_shardings(v, mesh)
+                )
+                if k == "params"
+                else jax.device_put(v, dream_parallel.replicated_sharding(mesh))
+            )
+            for k, v in self.variables.items()
+        }
+        if self.opt_state is not None:
+            self.opt_state = jax.device_put(
+                self.opt_state, dream_parallel.replicated_sharding(mesh)
+            )
+        self._batch_sharding = dream_parallel.batch_sharding(mesh, ndim=4)
+
+    def _shard_batch(self, *arrays):
+        if getattr(self, "_mesh", None) is None:
+            return arrays
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        out = []
+        for a in arrays:
+            spec = P("data", *([None] * (a.ndim - 1)))
+            out.append(jax.device_put(a, NamedSharding(self._mesh, spec)))
+        return tuple(out)
+
     def enable_fused_training(self, batch_processor):
         """Fuse the device-side batch processor into the train step.
 
@@ -409,6 +449,9 @@ class DreamNetwork:
         """One fused optimization step directly from raw uint8 frames."""
         assert hasattr(self, "_fused_train_step"), (
             "Call enable_fused_training(batch_processor) first."
+        )
+        raw_images, kp_projs_raw = self._shard_batch(
+            jnp.asarray(raw_images), jnp.asarray(kp_projs_raw)
         )
         self.variables, self.opt_state, loss = self._fused_train_step(
             self.variables, self.opt_state, key, raw_images, kp_projs_raw

@@ -281,6 +281,15 @@ def train_network(args):
     )
     # Fuse the processor into the train step: one device dispatch per batch.
     dream_network.enable_fused_training(process_train)
+
+    # Place params/batches on the device mesh (DP over 'data', optional TP
+    # channel sharding over 'model') when more than one device is requested.
+    if args.mesh_data * args.mesh_model > 1:
+        from dream_tpu import parallel as dream_parallel
+
+        mesh = dream_parallel.make_mesh(args.mesh_data, args.mesh_model)
+        dream_network.shard_for_mesh(mesh)
+        print(f"Training on mesh {dict(mesh.shape)}")
     process_valid = dream_data.make_batch_processor(
         image_raw_resolution, trained_net_input_res, trained_net_output_res,
         dream_network.image_preprocessing(), dream_network.image_normalization,

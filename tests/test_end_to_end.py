@@ -111,3 +111,25 @@ def test_train_resume_analyze(env):
 
     report = open(os.path.join(analysis_dir, "analysis_results.txt")).read()
     assert "Number of frames in this dataset: 16" in report
+
+
+def test_train_on_mesh(env):
+    """Data-parallel training over a 4-device virtual mesh via the CLI."""
+    import jax
+
+    from train_network import make_parser, train_network
+
+    assert len(jax.devices()) >= 4
+    out_dir = str(env["root"] / "train_mesh")
+    args = make_parser().parse_args([
+        "-i", env["data"], "-m", env["manip"], "-ar", env["arch"],
+        "-e", "1", "-b", "8", "-o", out_dir, "-s", "1", "-w", "2",
+        "-not-a", "--mesh-data", "4",
+    ])
+    train_network(args)
+    import pickle
+
+    with open(os.path.join(out_dir, "training_log.pkl"), "rb") as f:
+        log = pickle.load(f)
+    assert len(log["losses"]) == 1
+    assert np.isfinite(log["losses"][0])
