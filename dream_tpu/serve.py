@@ -250,6 +250,18 @@ class DreamInferenceServer:
             return viz.overlay_points_on_image(
                 blend, detection["detected_keypoints"]
             )
+        if stream == "keypoint_frame_overlay":
+            with self._lock:
+                pose = self.latest_pose
+                camera_K = self.camera_K
+            if pose is None or camera_K is None:
+                return None
+            cam_from_robot = pose["camera_from_robot"]
+            return viz.overlay_pose_triad(
+                image, camera_K,
+                cam_from_robot["translation"],
+                cam_from_robot["quaternion_xyzw"],
+            )
         return None
 
 

@@ -214,6 +214,57 @@ def mosaic_images(
     return mosaic
 
 
+def overlay_pose_triad(
+    image,
+    camera_K,
+    translation,
+    quaternion_xyzw,
+    axis_length_m: float = 0.1,
+    thickness: int = 3,
+):
+    """Draw the recovered robot-base coordinate triad on the camera image.
+
+    Projects the base-frame origin and axis endpoints through the
+    camera-from-robot pose and draws RGB axis lines — the reference ROS
+    node's keypoint_frame_overlay output (reference
+    scripts/launch_dream_ros.py:498-626).
+    """
+    import cv2
+
+    from dream_tpu.ops import geometric_vision as gv
+    import jax.numpy as jnp
+
+    if isinstance(image, np.ndarray):
+        image = PILImage.fromarray(image.astype(np.uint8))
+    R = np.asarray(gv.rotation_matrix_from_quaternion(jnp.asarray(quaternion_xyzw)))
+    t = np.asarray(translation)
+    K = np.asarray(camera_K)
+
+    points_robot = np.array(
+        [
+            [0.0, 0.0, 0.0],
+            [axis_length_m, 0.0, 0.0],
+            [0.0, axis_length_m, 0.0],
+            [0.0, 0.0, axis_length_m],
+        ]
+    )
+    points_cam = points_robot @ R.T + t
+    if np.any(points_cam[:, 2] <= 1e-6):
+        return image  # behind the camera; skip like the reference's TF guard
+    proj = points_cam @ K.T
+    proj = proj[:, :2] / proj[:, 2:3]
+
+    drawn = np.array(image).copy()
+    origin = tuple(int(v) for v in proj[0])
+    for axis_end, color in zip(
+        proj[1:], [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    ):
+        cv2.line(
+            drawn, origin, tuple(int(v) for v in axis_end), color, thickness
+        )
+    return PILImage.fromarray(drawn)
+
+
 def blend_belief_overlay(
     image: PILImage.Image, belief_map, alpha: float = 0.5, **kwargs
 ) -> PILImage.Image:

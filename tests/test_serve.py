@@ -180,3 +180,18 @@ def test_http_transport_round_trip():
             assert e.code == 404
     finally:
         httpd.shutdown()
+
+
+def test_pose_triad_debug_stream():
+    K, X, uv, t_gt = _make_scene()
+    server = DreamInferenceServer(_OracleNetwork(uv), base_frame="base")
+    server.on_camera_info(K[0, 0], K[1, 1], K[0, 2], K[1, 2])
+    server.on_keypoint_positions(X)
+    # No pose yet -> None.
+    assert server.render_debug("keypoint_frame_overlay") is None
+    server.process_image(np.zeros((240, 320, 3), np.uint8))
+    img = server.render_debug("keypoint_frame_overlay")
+    assert img is not None
+    arr = np.asarray(img)
+    # Triad axis lines must have been drawn (non-black pixels on black input).
+    assert (arr.sum(axis=-1) > 0).sum() > 20
