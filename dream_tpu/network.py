@@ -300,6 +300,9 @@ class DreamNetwork:
         multistage models average the criterion over all stage outputs against
         the broadcast target (reference dream/network.py:345-356).
         """
+        assert self.network_config["architecture"]["output_heads"] == [
+            "belief_maps"
+        ], "Not yet implemented."  # reference dream/network.py:361-362
         outputs, new_batch_stats = self.apply_model(variables, net_input, train=train)
         target = jnp.moveaxis(target_belief_maps, 1, -1)  # -> NHWC
         stacked = jnp.stack(outputs)  # [n_stages, B, h, w, n_kp]
@@ -498,6 +501,18 @@ class DreamNetwork:
         offset = self.peak_offset_due_to_upsampling()
         use_scores = self.use_belief_peak_scores
         gap = self.belief_peak_next_best_score
+        output_heads = self.network_config["architecture"]["output_heads"]
+
+        if output_heads == ["belief_maps", "keypoints"]:
+            # Spatial-softmax head: the model itself emits keypoint coords
+            # (reference dream/network.py:511-515).
+            @jax.jit
+            def run(variables, net_input):
+                outputs, _ = self.apply_model(variables, net_input, train=False)
+                belief = jnp.moveaxis(outputs[0], -1, 1)  # [B, n_kp, h, w]
+                return belief, outputs[1]
+
+            return run
 
         @jax.jit
         def run(variables, net_input):

@@ -244,3 +244,38 @@ def test_fused_training_matches_unfused():
     for _ in range(5):
         loss_b = float(net_b.train_raw(jax.random.PRNGKey(0), raw, kp_raw))
     assert loss_b < loss_a
+
+
+def test_spatial_softmax_config_inference():
+    """vgg + spatial_softmax config: model emits keypoints directly
+    (reference dream/network.py:196-209,511-515)."""
+    cfg = _vgg_config()
+    cfg["architecture"]["spatial_softmax"] = {
+        "learned_beta": True, "initial_beta": 1.0,
+    }
+    cfg["architecture"]["output_heads"] = ["belief_maps", "keypoints"]
+    net = DreamNetwork(cfg)
+    net.init_variables()
+    belief, kps = net.inference(jnp.zeros((2, 64, 64, 3)))
+    assert belief.shape == (2, 4, 16, 16)
+    assert kps.shape == (2, 4, 2)
+    # Soft-argmax output: finite coords inside the netout frame, no sentinels.
+    k = np.asarray(kps)
+    assert np.all(np.isfinite(k)) and k.min() >= 0.0 and k.max() <= 16.0
+
+    # Training such a config is explicitly unimplemented (reference parity).
+    net.enable_training()
+    with pytest.raises(AssertionError):
+        net.train([jnp.zeros((1, 64, 64, 3))], jnp.zeros((1, 4, 16, 16)))
+
+
+def test_huber_loss_config():
+    net = DreamNetwork(_vgg_config(loss="huber"))
+    net.init_variables()
+    img = jnp.ones((1, 64, 64, 3))
+    target = jnp.zeros((1, 4, 16, 16))
+    loss = float(net.loss([img], target))
+    out, _ = net.apply_model(net.variables, img)
+    d = np.abs(np.asarray(out[0]))
+    expected = np.mean(np.where(d < 1.0, 0.5 * d * d, d - 0.5))
+    np.testing.assert_allclose(loss, expected, rtol=1e-5)
