@@ -19,12 +19,9 @@ from __future__ import annotations
 
 import concurrent.futures
 import enum
-import functools
-import threading
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from dream_tpu.data.augment import AugmentConfig, DEFAULT_AUGMENT, augment_batch

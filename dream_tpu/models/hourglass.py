@@ -18,7 +18,7 @@ with the reference's pretrained encoders (reference dream/models.py:587).
 
 from __future__ import annotations
 
-from typing import Any, List, Optional
+from typing import Any, List
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -26,7 +26,6 @@ from flax import linen as nn
 from dream_tpu.models.layers import (
     TorchConvTranspose,
     conv3x3,
-    conv1x1,
     max_pool_torch,
     upsample_nearest,
 )

@@ -34,7 +34,6 @@ Numerical parity notes (all verified against the reference semantics):
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

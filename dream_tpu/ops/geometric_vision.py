@@ -23,7 +23,6 @@ Quaternions use XYZW order to match the reference's pyrr convention
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional
 
 import jax

@@ -12,7 +12,6 @@ from PIL import Image as PILImage
 
 from dream_tpu.utils.resolutions import (
     KNOWN_IMAGE_PREPROC_TYPES,
-    shrink_resolution,
     shrink_and_crop_resolution,
 )
 
