@@ -268,6 +268,7 @@ def analyze_ndds_dataset(
     batch_size: int = 16,
     num_workers: int = 8,
     dream_network=None,
+    pnp_ransac: bool = False,
 ):
     """Run inference over an NDDS dataset; write keypoints.csv,
     pnp_results.csv, analysis_results.txt, and sample mosaics."""
@@ -413,16 +414,38 @@ def analyze_ndds_dataset(
             axis=1,
         )
 
-        # Batched on-device PnP over all frames at once.
-        solve = jax.jit(
-            jax.vmap(
-                lambda X, uv: gv.solve_pnp(X, uv, jnp.asarray(camera_K, jnp.float32))
+        # Batched on-device PnP over all frames at once.  ``pnp_ransac``
+        # switches to the RANSAC variant (5 px inlier threshold) — present
+        # but disabled by default in the reference too (its call is commented
+        # out at dream/analysis.py:329).
+        if pnp_ransac:
+            def _solve_one(X, uv, key):
+                result, _ = gv.solve_pnp_ransac(
+                    X, uv, jnp.asarray(camera_K, jnp.float32), key=key
+                )
+                return result
+
+            keys = jax.random.split(
+                jax.random.PRNGKey(0), len(all_gt_kp_positions)
             )
-        )
-        results = solve(
-            jnp.asarray(all_gt_kp_positions, jnp.float32),
-            jnp.asarray(all_kp_projs_detected_raw, jnp.float32),
-        )
+            solve = jax.jit(jax.vmap(_solve_one))
+            results = solve(
+                jnp.asarray(all_gt_kp_positions, jnp.float32),
+                jnp.asarray(all_kp_projs_detected_raw, jnp.float32),
+                keys,
+            )
+        else:
+            solve = jax.jit(
+                jax.vmap(
+                    lambda X, uv: gv.solve_pnp(
+                        X, uv, jnp.asarray(camera_K, jnp.float32)
+                    )
+                )
+            )
+            results = solve(
+                jnp.asarray(all_gt_kp_positions, jnp.float32),
+                jnp.asarray(all_kp_projs_detected_raw, jnp.float32),
+            )
         valid = np.asarray(results.valid)
         translations = np.asarray(results.translation)
         quaternions = np.asarray(results.quaternion)

@@ -33,6 +33,7 @@ def network_inference_dataset(args):
         image_preprocessing_override=args.image_preproc_override,
         batch_size=args.batch_size,
         num_workers=args.num_workers,
+        pnp_ransac=args.ransac,
     )
 
 
@@ -55,5 +56,7 @@ if __name__ == "__main__":
     parser.add_argument("-f", "--force-overwrite", action="store_true", default=False)
     parser.add_argument("-p", "--image-preproc-override", default=None)
     parser.add_argument("--no-pnp", action="store_true", default=False)
+    parser.add_argument("--ransac", action="store_true", default=False,
+                        help="Use RANSAC PnP (5 px inlier threshold).")
     parser.add_argument("--no-visualization", action="store_true", default=False)
     network_inference_dataset(parser.parse_args())
