@@ -154,3 +154,27 @@ def test_add_from_pose_translation():
         jnp.array([0.05, 0.0, 0.0]), jnp.array([0.0, 0.0, 0.0, 1.0]), kp
     )
     np.testing.assert_allclose(float(add), 0.05, atol=1e-6)
+
+
+def test_solve_pnp_ransac_vmapped():
+    """The analysis --ransac path vmaps the RANSAC solver over frames."""
+    rng = np.random.RandomState(3)
+    K = np.array([[615.0, 0, 320.0], [0, 615.0, 240.0], [0, 0, 1.0]])
+    Xb, uvb = [], []
+    for _ in range(3):
+        K2, X, uv, _, _ = _random_problem(rng)
+        uv[0] += 150.0  # gross outlier per frame
+        Xb.append(X)
+        uvb.append(uv)
+
+    def one(X, uv, key):
+        result, _ = gv.solve_pnp_ransac(X, uv, jnp.asarray(K, jnp.float32), key=key)
+        return result
+
+    res = jax.jit(jax.vmap(one))(
+        jnp.asarray(np.stack(Xb), jnp.float32),
+        jnp.asarray(np.stack(uvb), jnp.float32),
+        jax.random.split(jax.random.PRNGKey(0), 3),
+    )
+    assert np.all(np.asarray(res.valid))
+    assert np.all(np.asarray(res.reproj_error) < 1.0)
