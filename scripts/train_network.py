@@ -225,6 +225,11 @@ def train_network(args):
         dream_network.load_network_params(
             os.path.join(args.output_dir, most_recent_epoch_params_path)
         )
+    elif args.init_params:
+        # Warm start from an existing checkpoint (fresh optimizer state) —
+        # fine-tuning/transfer, a TPU-native extension over the reference.
+        dream_network.load_network_params(args.init_params)
+        print(f"Initialized parameters from {args.init_params}")
     dream_network.enable_training()
     if args.resume_training:
         opt_path = os.path.join(
@@ -462,6 +467,9 @@ def make_parser():
                         help="Data-parallel mesh axis size (replaces --gpu-ids).")
     parser.add_argument("--mesh-model", type=int, default=1,
                         help="Model-parallel mesh axis size.")
+    parser.add_argument("--init-params", default=None,
+                        help="Warm-start parameters from a .msgpack checkpoint "
+                             "(fresh optimizer; unlike --resume-training).")
     parser.add_argument("--profile-dir", default=None,
                         help="Write a jax.profiler device trace of one epoch.")
     parser.add_argument("--checkpoint-every", type=int, default=1,
