@@ -263,6 +263,7 @@ def solve_pnp(
     weights: Optional[jnp.ndarray] = None,
     refinement: bool = True,
     gn_iters: int = 20,
+    multi_start: bool = True,
 ) -> PnPResult:
     """EPnP + Gauss-Newton pose recovery, fully on device.
 
@@ -338,7 +339,9 @@ def solve_pnp(
     R0 = jnp.where(use1, R1, R2)
     t0 = jnp.where(use1, t1, t2)
 
-    if refinement:
+    if refinement and not multi_start:
+        R, t = _gauss_newton_pose(R0, t0, Xs, uv_norm, w, iters=gn_iters)
+    elif refinement:
         # Multi-start damped Gauss-Newton: EPnP candidates plus geometric
         # front-facing initializations (depth from 3D/2D spread ratio).  The
         # minimal 4-point case can defeat the linear EPnP initializer; a
@@ -448,7 +451,13 @@ def solve_pnp_ransac(
     def one_hypothesis(k):
         idx = jax.random.choice(k, N, shape=(4,), replace=False, p=jax.nn.softmax(logits))
         sub_w = jnp.zeros(N).at[idx].set(1.0) * w
-        result = solve_pnp(X, uv, K, weights=sub_w, refinement=True, gn_iters=8)
+        # Single-start GN per hypothesis: the consensus vote, not the
+        # hypothesis solver, provides robustness — multi-start here would
+        # multiply the kernel 7x for no accuracy gain.
+        result = solve_pnp(
+            X, uv, K, weights=sub_w, refinement=True, gn_iters=8,
+            multi_start=False,
+        )
         proj = point_projection_from_3d(K, X @ result.rotation.T + result.translation)
         err = jnp.linalg.norm(proj - uv, axis=1)
         inliers = (err < inlier_thresh_px) & (w > 0)
