@@ -124,3 +124,98 @@ def test_dataparallel_prefix_stripped():
     sd = {"module." + k: v for k, v in tmodel.state_dict().items()}
     variables = convert_vgg(sd)
     assert "down1" in variables["params"]
+
+
+def _torch_resnet_simple(n_keypoints=2, layers=(1, 1, 1, 1)):
+    """Plain-torch twin of ResnetSimple with torchvision-style key names."""
+
+    class Bottleneck(nn.Module):
+        expansion = 4
+
+        def __init__(self, inplanes, planes, stride=1, downsample=None):
+            super().__init__()
+            self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(planes)
+            self.conv2 = nn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(planes)
+            self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+            self.bn3 = nn.BatchNorm2d(planes * 4)
+            self.relu = nn.ReLU(inplace=True)
+            self.downsample = downsample
+
+        def forward(self, x):
+            identity = x
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.relu(self.bn2(self.conv2(out)))
+            out = self.bn3(self.conv3(out))
+            if self.downsample is not None:
+                identity = self.downsample(x)
+            return self.relu(out + identity)
+
+    class TorchResnetSimple(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            self.relu = nn.ReLU(inplace=True)
+            self.maxpool = nn.MaxPool2d(3, 2, 1)
+            inplanes = 64
+
+            def make_layer(planes, blocks, stride):
+                nonlocal inplanes
+                downsample = nn.Sequential(
+                    nn.Conv2d(inplanes, planes * 4, 1, stride, bias=False),
+                    nn.BatchNorm2d(planes * 4),
+                )
+                mods = [Bottleneck(inplanes, planes, stride, downsample)]
+                inplanes = planes * 4
+                for _ in range(1, blocks):
+                    mods.append(Bottleneck(inplanes, planes))
+                return nn.Sequential(*mods)
+
+            self.layer1 = make_layer(64, layers[0], 1)
+            self.layer2 = make_layer(128, layers[1], 2)
+            self.layer3 = make_layer(256, layers[2], 2)
+            self.layer4 = make_layer(512, layers[3], 2)
+
+            ups = []
+            for i in range(4):
+                in_ch = 2048 if i == 0 else 256
+                ups += [
+                    nn.ConvTranspose2d(in_ch, 256, 4, 2, 1),
+                    nn.BatchNorm2d(256),
+                    nn.ReLU(inplace=True),
+                ]
+            ups.append(nn.Conv2d(256, n_keypoints, 1))
+            self.upsample = nn.Sequential(*ups)
+
+        def forward(self, x):
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+            return self.upsample(x)
+
+    return TorchResnetSimple()
+
+
+def test_resnet_conversion_value_parity():
+    from convert_torch_weights import convert_resnet
+    from dream_tpu.models import ResnetSimple
+
+    torch.manual_seed(0)
+    layers = (1, 1, 1, 1)
+    tmodel = _torch_resnet_simple(n_keypoints=2, layers=layers)
+    tmodel.eval()
+
+    x = np.random.RandomState(2).rand(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        t_out = tmodel(torch.from_numpy(x)).numpy()
+
+    variables = convert_resnet(tmodel.state_dict(), layers=layers)
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+
+    fmodel = ResnetSimple(n_keypoints=2, layers=layers)
+    f_out = fmodel.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                         train=False)[0]
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(f_out), -1, 1), t_out, atol=3e-4
+    )
