@@ -47,6 +47,12 @@ def __getattr__(name):
         "analysis": "dream_tpu.analysis",
         "image_proc": "dream_tpu.ops.image_proc",
         "geometric_vision": "dream_tpu.ops.geometric_vision",
+        "spatial_softmax": "dream_tpu.ops.spatial_softmax",
+        "oks_plots": "dream_tpu.oks_plots",
+        "add_plots": "dream_tpu.add_plots",
+        "serve": "dream_tpu.serve",
+        "visualize": "dream_tpu.visualize",
+        "parallel": "dream_tpu.parallel",
     }
     if name in lazy_modules:
         return importlib.import_module(lazy_modules[name])
