@@ -110,3 +110,35 @@ def test_yaml_omap_compat(tmp_path):
     # Overwrite protection (reference dream/network.py:594-597).
     with pytest.raises(AssertionError):
         save_yaml(cfg, str(out))
+
+
+def test_find_ndds_data_image_types(tmp_path):
+    """Extension auto-detect (jpg) + depth/cs sibling discovery
+    (reference dream/utilities.py:86-206)."""
+    import numpy as np
+    from PIL import Image
+
+    d = tmp_path / "jpgset"
+    d.mkdir()
+    img = Image.fromarray(np.zeros((8, 8, 3), np.uint8))
+    for i in range(3):
+        name = f"{i:06d}"
+        for tag in ["rgb", "depth", "cs"]:
+            img.save(d / f"{name}.{tag}.jpg")
+        (d / f"{name}.json").write_text('{"objects": []}')
+
+    found, configs = ndds_utils.find_ndds_data_in_dir(str(d))
+    assert len(found) == 3
+    assert found[0]["image_paths"]["rgb"].endswith("000000.rgb.jpg")
+    assert found[0]["image_paths"]["depth"].endswith("000000.depth.jpg")
+    assert found[0]["image_paths"]["class_segmentation"].endswith("000000.cs.jpg")
+
+    # Restricting requested image types.
+    found_rgb, _ = ndds_utils.find_ndds_data_in_dir(
+        str(d), requested_image_types=["rgb"]
+    )
+    assert set(found_rgb[0]["image_paths"]) == {"rgb"}
+
+    # Unknown type rejected.
+    with pytest.raises(AssertionError):
+        ndds_utils.find_ndds_data_in_dir(str(d), requested_image_types=["bogus"])
