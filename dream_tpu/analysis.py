@@ -269,9 +269,21 @@ def analyze_ndds_dataset(
     num_workers: int = 8,
     dream_network=None,
     pnp_ransac: bool = False,
+    pnp_weight_by_score: bool = False,
+    pnp_reject_outliers_px: Optional[float] = None,
 ):
     """Run inference over an NDDS dataset; write keypoints.csv,
-    pnp_results.csv, analysis_results.txt, and sample mosaics."""
+    pnp_results.csv, analysis_results.txt, and sample mosaics.
+
+    PnP options beyond reference parity (all default off):
+
+    - ``pnp_ransac``: the reference's (disabled-by-default) RANSAC variant.
+    - ``pnp_weight_by_score``: weight each correspondence by its belief-map
+      peak score in the least-squares solve.
+    - ``pnp_reject_outliers_px``: after a first solve, drop correspondences
+      reprojecting worse than this many pixels and re-refine (when >=4
+      survive) — counters one confidently-wrong detection dragging the pose.
+    """
     assert os.path.exists(network_params_path)
     assert os.path.exists(network_config_path)
     assert os.path.exists(dataset_dir)
@@ -336,6 +348,7 @@ def analyze_ndds_dataset(
     all_kp_projs_detected_raw: List[np.ndarray] = []
     all_kp_projs_gt_raw: List[np.ndarray] = []
     all_gt_kp_positions: List[np.ndarray] = []
+    all_peak_scores: List[np.ndarray] = []
     sample_results = []
     sample_names_all: List[str] = []
     sample_idx = 0
@@ -347,7 +360,13 @@ def analyze_ndds_dataset(
             jnp.asarray(host_batch["image_rgb_raw"]),
             jnp.asarray(host_batch["keypoint_projections_raw"]),
         )
-        _, detected_netout = dream_network.inference(batch["image_rgb_input"])
+        if pnp_weight_by_score:
+            _, detected_netout, peak_scores = dream_network.inference_detailed(
+                batch["image_rgb_input"]
+            )
+            all_peak_scores.append(np.asarray(peak_scores))
+        else:
+            _, detected_netout = dream_network.inference(batch["image_rgb_input"])
         # Sentinel-preserving conversion netout -> raw (scales sentinels like
         # the reference; the < -999 checks still hold).
         detected_raw = np.asarray(kp_to_raw(detected_netout))
@@ -418,10 +437,20 @@ def analyze_ndds_dataset(
         # switches to the RANSAC variant (5 px inlier threshold) — present
         # but disabled by default in the reference too (its call is commented
         # out at dream/analysis.py:329).
+        if pnp_weight_by_score:
+            solve_weights = jnp.asarray(
+                np.clip(np.concatenate(all_peak_scores), 0.0, None), jnp.float32
+            )
+        else:
+            solve_weights = jnp.ones(
+                (n_samples, dream_network.n_keypoints), jnp.float32
+            )
+
         if pnp_ransac:
-            def _solve_one(X, uv, key):
+            def _solve_one(X, uv, wts, key):
                 result, _ = gv.solve_pnp_ransac(
-                    X, uv, jnp.asarray(camera_K, jnp.float32), key=key
+                    X, uv, jnp.asarray(camera_K, jnp.float32),
+                    key=key, weights=wts,
                 )
                 return result
 
@@ -432,28 +461,40 @@ def analyze_ndds_dataset(
             results = solve(
                 jnp.asarray(all_gt_kp_positions, jnp.float32),
                 jnp.asarray(all_kp_projs_detected_raw, jnp.float32),
+                solve_weights,
                 keys,
             )
         else:
             solve = jax.jit(
                 jax.vmap(
-                    lambda X, uv: gv.solve_pnp(
-                        X, uv, jnp.asarray(camera_K, jnp.float32)
+                    lambda X, uv, wts: gv.solve_pnp(
+                        X, uv, jnp.asarray(camera_K, jnp.float32),
+                        weights=wts,
+                        reject_outliers_px=pnp_reject_outliers_px,
                     )
                 )
             )
             results = solve(
                 jnp.asarray(all_gt_kp_positions, jnp.float32),
                 jnp.asarray(all_kp_projs_detected_raw, jnp.float32),
+                solve_weights,
             )
         valid = np.asarray(results.valid)
         translations = np.asarray(results.translation)
         quaternions = np.asarray(results.quaternion)
 
+        # ADD over the detected-keypoint subset only — the reference passes
+        # kp_pos_gt_pnp (the >-999 rows fed to PnP) to add_from_pose
+        # (dream/analysis.py:322-339), not all GT keypoints.
+        detect_mask = ~(
+            (all_kp_projs_detected_raw[:, :, 0] < -999.0)
+            & (all_kp_projs_detected_raw[:, :, 1] < -999.0)
+        )
         adds = np.asarray(
             jax.vmap(gv.add_from_pose)(
                 results.translation, results.quaternion,
                 jnp.asarray(all_gt_kp_positions, jnp.float32),
+                jnp.asarray(detect_mask, jnp.float32),
             )
         )
 

@@ -4,6 +4,7 @@ from dream_tpu.data.dataset import (
     ManipulatorNDDSDataset,
     ManipulatorNDDSDatasetDebugLevels,
     DataLoader,
+    DeviceCachedLoader,
     make_batch_processor,
     split_indices,
 )

@@ -33,6 +33,16 @@ from dream_tpu.utils.resolutions import KNOWN_IMAGE_PREPROC_TYPES
 
 
 class ManipulatorNDDSDatasetDebugLevels(enum.IntEnum):
+    """Parity: reference dream/datasets.py:22-30.
+
+    NONE/LIGHT match the reference.  HEAVY dumps per-sample GT overlay +
+    belief-map PNGs to disk (the reference declares this level but leaves it
+    a TODO, dream/datasets.py:223-225); INTERACTIVE additionally writes an
+    HTML contact sheet (``index.html``) — the headless substitute for the
+    reference's on-screen ``PIL.show()`` + "Press Enter" loop
+    (dream/datasets.py:228-271), which needs a display this host lacks.
+    """
+
     NONE = 0
     LIGHT = 1
     HEAVY = 2
@@ -62,6 +72,7 @@ class ManipulatorNDDSDataset:
         debug_mode: int = ManipulatorNDDSDatasetDebugLevels.NONE,
         n_decode_threads: int = 8,
         use_native_loader: Optional[bool] = None,
+        debug_dir: str = "dataset_debug",
     ):
         if isinstance(ndds_dataset, str):
             ndds_dataset = ndds_utils.find_ndds_data_in_dir(ndds_dataset)
@@ -80,6 +91,8 @@ class ManipulatorNDDSDataset:
         self.include_ground_truth = include_ground_truth
         self.include_belief_maps = include_belief_maps
         self.debug_mode = debug_mode
+        self.debug_dir = debug_dir
+        self._debug_dumped: set = set()
         assert image_preprocessing in KNOWN_IMAGE_PREPROC_TYPES
         self.image_preprocessing = image_preprocessing
 
@@ -156,7 +169,124 @@ class ManipulatorNDDSDataset:
         if self.include_ground_truth:
             batch["keypoint_projections_raw"] = self.kp_projs_raw[indices]
             batch["keypoint_positions"] = self.kp_positions[indices]
+        if self.debug_mode >= ManipulatorNDDSDatasetDebugLevels.HEAVY:
+            self.dump_debug(indices, images=batch["image_rgb_raw"])
         return batch
+
+    def dump_debug(
+        self,
+        indices: Sequence[int],
+        images: Optional[np.ndarray] = None,
+        output_dir: Optional[str] = None,
+    ) -> List[str]:
+        """HEAVY-level debug dumps: per-sample GT keypoint overlays (raw and
+        net-input frames) and a GT belief-map mosaic, written to
+        ``debug_dir``.  At INTERACTIVE level also (re)writes ``index.html``,
+        an offline contact sheet replacing the reference's on-screen checks
+        (reference dream/datasets.py:228-271).
+
+        Returns the list of files written.  Each sample is dumped at most
+        once per dataset instance (cheap enough to leave on during a debug
+        training run).
+        """
+        import os
+
+        from PIL import Image as PILImage
+
+        from dream_tpu import visualize as viz
+        from dream_tpu.ops.belief_maps import create_belief_maps
+
+        out_dir = output_dir or self.debug_dir
+        os.makedirs(out_dir, exist_ok=True)
+
+        to_netin = coord_ops.affine_netin_from_raw(
+            self.image_raw_resolution, self.network_input_resolution,
+            self.image_preprocessing,
+        )
+        to_netout = coord_ops.affine_netout_from_netin(
+            self.network_input_resolution, self.network_output_resolution
+        )
+
+        written: List[str] = []
+        for j, idx in enumerate(indices):
+            idx = int(idx)
+            if idx in self._debug_dumped:
+                continue
+            self._debug_dumped.add(idx)
+            name = self.ndds_dataset_data[idx]["name"]
+            raw = (
+                images[j]
+                if images is not None
+                else self.load_images([idx])[0]
+            )
+            kp_raw = self.kp_projs_raw[idx]
+            kp_netin = np.asarray(to_netin(kp_raw))
+            kp_netout = np.asarray(to_netout(kp_netin))
+
+            pil_raw = PILImage.fromarray(raw)
+            overlay_raw = viz.overlay_points_on_image(
+                pil_raw, kp_raw, self.keypoint_names
+            )
+            p = os.path.join(out_dir, f"{name}_gt_overlay_raw.png")
+            overlay_raw.save(p)
+            written.append(p)
+
+            net_in = np.asarray(
+                preprocess_images(
+                    raw[None].astype(np.float32),
+                    self.network_input_resolution,
+                    self.image_preprocessing,
+                )[0]
+            ).astype(np.uint8)
+            overlay_netin = viz.overlay_points_on_image(
+                PILImage.fromarray(net_in), kp_netin, self.keypoint_names
+            )
+            p = os.path.join(out_dir, f"{name}_gt_overlay_net_input.png")
+            overlay_netin.save(p)
+            written.append(p)
+
+            bmaps = np.asarray(
+                create_belief_maps(
+                    kp_netout[None], self.network_output_resolution
+                )[0]
+            )
+            mosaic = viz.mosaic_images(
+                viz.images_from_belief_maps(bmaps),
+                rows=1, cols=len(self.keypoint_names),
+            )
+            p = os.path.join(out_dir, f"{name}_gt_belief_maps.png")
+            mosaic.save(p)
+            written.append(p)
+
+        if (
+            written
+            and self.debug_mode >= ManipulatorNDDSDatasetDebugLevels.INTERACTIVE
+        ):
+            written.append(self._write_debug_contact_sheet(out_dir))
+        return written
+
+    def _write_debug_contact_sheet(self, out_dir: str) -> str:
+        """HTML contact sheet over every dump so far (INTERACTIVE level)."""
+        import html
+        import os
+
+        rows = []
+        for idx in sorted(self._debug_dumped):
+            name = html.escape(self.ndds_dataset_data[idx]["name"])
+            cells = "".join(
+                f'<td><img src="{name}_{kind}.png" style="max-width:320px">'
+                f"<br>{kind}</td>"
+                for kind in ("gt_overlay_raw", "gt_overlay_net_input",
+                             "gt_belief_maps")
+            )
+            rows.append(f"<tr><th>{name}</th>{cells}</tr>")
+        path = os.path.join(out_dir, "index.html")
+        with open(path, "w") as f:
+            f.write(
+                "<html><body><h1>dream_tpu dataset GT debug</h1>"
+                f"<table border=1>{''.join(rows)}</table></body></html>"
+            )
+        return path
 
     def sample_names(self, indices: Sequence[int]) -> List[str]:
         return [self.ndds_dataset_data[i]["name"] for i in indices]
@@ -277,6 +407,84 @@ class DataLoader:
                 future = pool.submit(self.dataset.host_batch, batches[i + 1])
             yield batch
         pool.shutdown(wait=False)
+
+
+class DeviceCachedLoader:
+    """Loader over a dataset held resident in device memory.
+
+    For datasets that fit HBM (a 768-frame 640x480 uint8 set is ~0.7 GB),
+    decodes every image ONCE, transfers raw frames + GT to the device, and
+    serves shuffled batches as device-side gathers — zero steady-state host
+    work, so the realized epoch throughput tracks the fused train step
+    instead of the host decode path.  Drop-in for :class:`DataLoader`
+    (``set_epoch``, ``len``, iteration yielding the same batch dict; the
+    ``indices`` entry stays host-side numpy for ``sample_names``).
+    """
+
+    def __init__(
+        self,
+        dataset: ManipulatorNDDSDataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        indices: Optional[Sequence[int]] = None,
+        chunk: int = 64,
+    ):
+        import jax.numpy as jnp
+
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.indices = (
+            np.asarray(indices, dtype=np.int64)
+            if indices is not None
+            else np.arange(len(dataset), dtype=np.int64)
+        )
+        self._epoch = 0
+
+        # One-time decode + device upload (chunked to bound host memory).
+        parts = []
+        for i in range(0, len(self.indices), chunk):
+            parts.append(
+                jnp.asarray(self.dataset.load_images(self.indices[i : i + chunk]))
+            )
+        self._images = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+        if dataset.include_ground_truth:
+            self._kp_projs = jnp.asarray(dataset.kp_projs_raw[self.indices])
+            self._kp_positions = jnp.asarray(dataset.kp_positions[self.indices])
+
+    def __len__(self) -> int:
+        n = len(self.indices)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    def __iter__(self):
+        import jax.numpy as jnp
+
+        order = np.arange(len(self.indices))
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self._epoch)
+            rng.shuffle(order)
+        for i in range(len(self)):
+            sel = order[i * self.batch_size : (i + 1) * self.batch_size]
+            sel_dev = jnp.asarray(sel)
+            batch = {
+                "image_rgb_raw": jnp.take(self._images, sel_dev, axis=0),
+                "indices": self.indices[sel].astype(np.int32),
+            }
+            if self.dataset.include_ground_truth:
+                batch["keypoint_projections_raw"] = jnp.take(
+                    self._kp_projs, sel_dev, axis=0
+                )
+                batch["keypoint_positions"] = jnp.take(
+                    self._kp_positions, sel_dev, axis=0
+                )
+            yield batch
 
 
 def split_indices(

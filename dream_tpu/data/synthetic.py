@@ -116,6 +116,40 @@ def _render_frame(
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
+def render_random_scene(
+    rng: np.random.RandomState,
+    image_resolution: Tuple[int, int] = (640, 480),
+    n_keypoints: int = 7,
+    out_of_frame: bool = False,
+):
+    """Render one random synthetic scene in memory.
+
+    Returns ``(image_u8 [H,W,3], kp_projs [n,2], positions_wrt_cam [n,3])`` —
+    the same statistics ``generate_synthetic_ndds`` writes to disk, for
+    callers that stream frames (e.g. encoder self-pretraining,
+    scripts/pretrain_encoder.py) instead of materializing a dataset.
+    """
+    w, h = image_resolution
+    fx = fy = 0.96 * w
+    K = np.array([[fx, 0, w / 2.0], [0, fy, h / 2.0], [0, 0, 1.0]])
+    chain = _CANONICAL_CHAIN[:n_keypoints]
+    R = _rotation_matrix(rng)
+    if out_of_frame:
+        t = np.array(
+            [rng.uniform(0.5, 0.9), rng.uniform(-0.1, 0.1), rng.uniform(1.0, 1.6)]
+        )
+    else:
+        t = np.array(
+            [rng.uniform(-0.25, 0.25), rng.uniform(-0.2, 0.2), rng.uniform(1.2, 2.6)]
+        )
+    centered = chain - chain.mean(axis=0)
+    Xc = centered @ R.T + t
+    proj = Xc @ K.T
+    kp_projs = proj[:, :2] / proj[:, 2:3]
+    img = _render_frame(image_resolution, kp_projs, Xc[:, 2], rng)
+    return img, kp_projs, Xc
+
+
 def generate_synthetic_ndds(
     output_dir: str,
     n_frames: int = 32,

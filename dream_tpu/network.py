@@ -399,13 +399,14 @@ class DreamNetwork:
     def _shard_batch(self, *arrays):
         if getattr(self, "_mesh", None) is None:
             return arrays
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from dream_tpu.parallel import process_local_batch
 
-        out = []
-        for a in arrays:
-            spec = P("data", *([None] * (a.ndim - 1)))
-            out.append(jax.device_put(a, NamedSharding(self._mesh, spec)))
-        return tuple(out)
+        # Single-process: a device_put onto the data axis.  Multi-host: each
+        # process contributes its local rows and the result is one global
+        # array sharded over ICI/DCN (see parallel.initialize_distributed).
+        return tuple(
+            process_local_batch(self._mesh, a) for a in arrays
+        )
 
     def enable_fused_training(self, batch_processor):
         """Fuse the device-side batch processor into the train step.
@@ -538,6 +539,45 @@ class DreamNetwork:
         self.init_variables()
         return self._inference_fn(self.variables, network_input)
 
+    @functools.cached_property
+    def _inference_detailed_fn(self):
+        offset = self.peak_offset_due_to_upsampling()
+        use_scores = self.use_belief_peak_scores
+        gap = self.belief_peak_next_best_score
+        output_heads = self.network_config["architecture"]["output_heads"]
+
+        if output_heads == ["belief_maps", "keypoints"]:
+            @jax.jit
+            def run(variables, net_input):
+                belief, keypoints = self._inference_fn(variables, net_input)
+                return belief, keypoints, jnp.ones(keypoints.shape[:-1])
+
+            return run
+
+        @jax.jit
+        def run(variables, net_input):
+            outputs, _ = self.apply_model(variables, net_input, train=False)
+            belief = jnp.moveaxis(outputs[-1], -1, 1)
+            keypoints, peaks = bm_ops.keypoints_from_belief_maps(
+                belief,
+                offset,
+                use_belief_peak_scores=use_scores,
+                belief_peak_next_best_score=gap,
+            )
+            return belief, keypoints, peaks["scores"][..., 0]
+
+        return run
+
+    def inference_detailed(self, network_input):
+        """``inference`` plus per-keypoint best-peak scores ``[B, n_kp]``.
+
+        The scores feed confidence-weighted PnP (dream_tpu extension; the
+        reference discards them after its 0.25 score-gap disambiguation,
+        dream/network.py:546-577).
+        """
+        self.init_variables()
+        return self._inference_detailed_fn(self.variables, network_input)
+
     def keypoints_from_image(
         self, input_rgb_image, image_preprocessing_override=None, debug=False
     ):
@@ -607,12 +647,43 @@ class DreamNetwork:
         with open(network_params_path, "wb") as f:
             f.write(serialization.to_bytes(self.variables))
 
+    def init_encoder_from(self, encoder_params_path):
+        """Warm-start just the VGG encoder trunk from a pretrained subtree.
+
+        The TPU-native stand-in for the reference's ImageNet initialization
+        (reference dream/models.py:587 ``vgg19(pretrained=True)``): loads a
+        ``down1..down5`` params subtree written by scripts/pretrain_encoder.py
+        (or extracted from converted torchvision weights) and grafts every
+        shape-matching leaf into this model's params.  Returns
+        ``(n_grafted, n_skipped)`` leaf counts.
+        """
+        from dream_tpu.models.pretrain import graft_encoder_params
+
+        self.init_variables()
+        with open(encoder_params_path, "rb") as f:
+            raw = f.read()
+        encoder = serialization.msgpack_restore(raw)
+        merged, n_grafted, n_skipped = graft_encoder_params(
+            jax.device_get(self.variables["params"]), encoder
+        )
+        assert n_grafted > 0, (
+            f"No encoder weights from {encoder_params_path} matched this "
+            f"model's params (wrong architecture?)."
+        )
+        self.variables = dict(
+            self.variables, params=jax.tree_util.tree_map(jnp.asarray, merged)
+        )
+        self.__dict__.pop("_inference_fn", None)
+        self.__dict__.pop("_inference_detailed_fn", None)
+        return n_grafted, n_skipped
+
     def load_network_params(self, network_params_path):
         self.init_variables()
         with open(network_params_path, "rb") as f:
             self.variables = serialization.from_bytes(self.variables, f.read())
         # Drop any stale compiled closure over old variables.
         self.__dict__.pop("_inference_fn", None)
+        self.__dict__.pop("_inference_detailed_fn", None)
 
     def save_network(self, output_dir, output_filename_without_extension, overwrite=False):
         makedirs(output_dir, exist_ok=True)

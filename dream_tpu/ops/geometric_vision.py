@@ -264,6 +264,7 @@ def solve_pnp(
     refinement: bool = True,
     gn_iters: int = 20,
     multi_start: bool = True,
+    reject_outliers_px: Optional[float] = None,
 ) -> PnPResult:
     """EPnP + Gauss-Newton pose recovery, fully on device.
 
@@ -272,12 +273,21 @@ def solve_pnp(
       projections: ``[N, 2]`` detected pixel coords (sentinel/NaN entries are
         auto-invalidated).
       camera_K: ``[3, 3]`` intrinsics.
-      weights: optional ``[N]`` 0/1 validity; defaults to auto-detection of
-        NaN / <=-999 sentinel entries (the reference's None-filtering,
-        dream/geometric_vision.py:57-79, plus the analysis-time sentinel
-        filtering at dream/analysis.py:321-324).
+      weights: optional ``[N]`` validity/confidence weights; defaults to
+        auto-detection of NaN / <=-999 sentinel entries (the reference's
+        None-filtering, dream/geometric_vision.py:57-79, plus the
+        analysis-time sentinel filtering at dream/analysis.py:321-324).
+        Binary 0/1 masks validity; continuous values (e.g. belief-map peak
+        scores) softly weight the least-squares residuals — a TPU-native
+        extension over the reference's unweighted cv2 solve.
       refinement: run the iterative refinement pass (the reference's second
         cv2.solvePnP call, dream/geometric_vision.py:94-104).
+      reject_outliers_px: if set, run a second pass that drops
+        correspondences whose pixel reprojection error under the first
+        solution exceeds this threshold (when >=4 survive) and re-refines —
+        a deterministic robustifier against one confidently-wrong detection
+        dragging the pose (no reference analog; RANSAC is the reference's
+        only outlier story, dream/geometric_vision.py:116-180).
 
     Returns:
       PnPResult; ``valid`` is False when fewer than 4 usable correspondences
@@ -295,7 +305,8 @@ def solve_pnp(
     w = auto_valid.astype(jnp.float32)
     if weights is not None:
         w = w * jnp.asarray(weights, dtype=jnp.float32)
-    n_valid = jnp.sum(w)
+    # Count usable correspondences (weights may be continuous confidences).
+    n_valid = jnp.sum(w > 0)
 
     # Work in normalized camera coordinates for conditioning.
     fx, fy = K[0, 0], K[1, 1]
@@ -388,11 +399,43 @@ def solve_pnp(
     else:
         R, t = R0, t0
 
-    res = _reproj_residuals(R, t, Xs, uv_norm, w)
-    # Mean pixel reprojection error over valid points.
-    px_res = res * jnp.array([fx, fy])
-    err = jnp.sqrt(jnp.sum(px_res ** 2, axis=1))
-    mean_err = jnp.sum(err) / (n_valid + _EPS)
+    valid_mask = (w > 0).astype(jnp.float32)
+
+    def _px_errors(R_, t_):
+        # Unweighted per-point pixel reprojection error, masked to validity.
+        res_ = _reproj_residuals(R_, t_, Xs, uv_norm, valid_mask)
+        return jnp.sqrt(jnp.sum((res_ * jnp.array([fx, fy])) ** 2, axis=1))
+
+    if reject_outliers_px is not None:
+        # Deterministic robustifier: iteratively drop the WORST-reprojecting
+        # point and re-refine, while the worst error exceeds the threshold
+        # and >4 points remain.  A single thresholding pass is not enough —
+        # one gross outlier drags the least-squares fit so every residual
+        # exceeds the threshold; peeling the worst point converges.  Fixed
+        # trip count (3) keeps it jittable; with <=3 rejections and the
+        # >=4-point floor this covers the reference's 7-17-keypoint robots.
+        w_cur = w
+        R_cur, t_cur = R, t
+        for _ in range(3):
+            err_i = _px_errors(R_cur, t_cur)
+            masked_err = jnp.where(w_cur > 0, err_i, -jnp.inf)
+            worst = jnp.argmax(masked_err)
+            do_drop = (masked_err[worst] > reject_outliers_px) & (
+                jnp.sum(w_cur > 0) > 4
+            )
+            w_new = jnp.where(
+                do_drop, w_cur * (1.0 - jax.nn.one_hot(worst, w.shape[0])), w_cur
+            )
+            R2, t2 = _gauss_newton_pose(
+                R_cur, t_cur, Xs, uv_norm, w_new, iters=gn_iters
+            )
+            R_cur = jnp.where(do_drop, R2, R_cur)
+            t_cur = jnp.where(do_drop, t2, t_cur)
+            w_cur = w_new
+        R, t = R_cur, t_cur
+
+    err = _px_errors(R, t)
+    mean_err = jnp.sum(err * valid_mask) / (jnp.sum(valid_mask) + _EPS)
 
     valid = (n_valid >= 4) & jnp.all(jnp.isfinite(t)) & jnp.isfinite(mean_err)
     quat = quaternion_from_rotation_matrix(R)
@@ -471,16 +514,73 @@ def solve_pnp_ransac(
     final = solve_pnp(
         X, uv, K, weights=best_inliers.astype(jnp.float32), gn_iters=gn_iters
     )
-    return final, best_inliers
+
+    # Consensus fallback: when the best hypothesis leaves fewer than 4
+    # inliers (tight threshold / noisy detections), fall back to the plain
+    # all-point solve instead of failing the frame — RANSAC should never have
+    # a worse success rate than single-solve.  (The reference's
+    # cv2.solvePnPRansac fails outright in this regime,
+    # dream/geometric_vision.py:174-178.)
+    plain = solve_pnp(X, uv, K, weights=weights, gn_iters=gn_iters)
+    use_ransac = final.valid
+    merged = PnPResult(
+        valid=jnp.where(use_ransac, final.valid, plain.valid),
+        translation=jnp.where(use_ransac, final.translation, plain.translation),
+        quaternion=jnp.where(use_ransac, final.quaternion, plain.quaternion),
+        rotation=jnp.where(use_ransac, final.rotation, plain.rotation),
+        reproj_error=jnp.where(use_ransac, final.reproj_error, plain.reproj_error),
+    )
+    merged_inliers = jnp.where(use_ransac, best_inliers, w > 0)
+    return merged, merged_inliers
 
 
-def add_from_pose(translation, quaternion, keypoint_positions_wrt_cam_gt):
+def add_from_pose(
+    translation,
+    quaternion,
+    keypoint_positions_wrt_cam_gt,
+    weights=None,
+    rotation_convention: str = "standard",
+):
     """Average 3D keypoint distance under the recovered pose.
 
     Parity: reference dream/geometric_vision.py:183-202 (applies [R|t] to the
     GT camera-frame keypoints and takes the mean L2 to the untransformed GT).
+    The reference computes this over ``kp_pos_gt_pnp`` — only the keypoints
+    with good detections that were fed to PnP (dream/analysis.py:322-339);
+    pass the same 0/1 detection mask as ``weights`` to match that accounting.
+
+    Rotation-convention note (``rotation_convention``): the reference builds
+    its transform from ``pyrr.Quaternion.matrix33`` and applies it
+    column-vector style (``transform @ points.T``).  The quaternion itself is
+    standard — the reference ROS node feeds it to the column-vector
+    ``tf.transformations.quaternion_matrix`` and the published TF tree works
+    (reference scripts/launch_dream_ros.py:463-482) — but pyrr documents
+    row-major/row-vector matrices, so its ``matrix33`` may be the TRANSPOSE of
+    the standard rotation matrix, in which case the reference's ADD
+    effectively applies ``R^T``.  pyrr cannot be installed in this egress-free
+    environment to check, and the choice is NOT negligible: for PnP-recovered
+    poses the rotation and translation errors are anticorrelated
+    (``R x + t ~= x``), so applying ``R^T`` roughly doubles the first-order
+    error term (measured ~3x mean ADD on noisy synthetic solves,
+    tests/test_pnp.py::test_add_rotation_convention_matters).
+
+    - ``"standard"`` (default): ``aligned = R @ kp + t`` — matches
+      ``cv2.Rodrigues``/``tf.transformations`` and the metric's intent.
+    - ``"transposed"``: ``aligned = R^T @ kp + t`` — what the reference
+      computes IF pyrr's ``matrix33`` is row-vector laid out.
+
+    ``scripts/parity_check.py`` resolves the question empirically against the
+    reference's own ``pnp_results.csv`` when real data is present.
     """
     R = rotation_matrix_from_quaternion(jnp.asarray(quaternion))
+    if rotation_convention == "transposed":
+        R = R.T
+    else:
+        assert rotation_convention == "standard", rotation_convention
     kp = jnp.asarray(keypoint_positions_wrt_cam_gt)
     aligned = kp @ R.T + jnp.asarray(translation)
-    return jnp.mean(jnp.linalg.norm(aligned - kp, axis=-1))
+    dists = jnp.linalg.norm(aligned - kp, axis=-1)
+    if weights is None:
+        return jnp.mean(dists)
+    w = jnp.asarray(weights, dtype=dists.dtype)
+    return jnp.sum(dists * w) / (jnp.sum(w) + _EPS)

@@ -4,4 +4,6 @@ from dream_tpu.parallel.mesh import (
     replicated_sharding,
     param_shardings,
     shard_params,
+    initialize_distributed,
+    process_local_batch,
 )

@@ -22,6 +22,70 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> dict:
+    """Multi-host data parallelism over DCN: ``jax.distributed`` entry point.
+
+    The reference has no multi-node story at all (SURVEY.md section 2.3:
+    single-process DataParallel only); this is the TPU-native extension that
+    scales the same training code across hosts.  Call ONCE per process,
+    before any other JAX device use.  On Cloud TPU pods all three arguments
+    auto-detect from the TPU metadata (pass nothing); elsewhere (e.g. a
+    CPU/GPU cluster or a simulated multi-process run) pass them explicitly.
+
+    Pod recipe (one v5e-16 pod slice, 4 hosts):
+
+        # identical invocation on every host; JAX auto-detects its role
+        python scripts/train_network.py -i DATA -m manip_configs/panda.yaml \\
+            -ar arch_configs/dream_vgg_q.yaml -e 25 -b 512 -o OUT \\
+            --distributed --mesh-data 16
+
+    Each process then sees its local chips in ``jax.local_devices()`` while
+    ``jax.devices()`` spans the pod; ``make_mesh`` builds the global mesh,
+    batches are assembled from process-local shards
+    (``process_local_batch``), and XLA routes the gradient all-reduce over
+    ICI within a host and DCN across hosts.
+
+    Returns ``{"process_index", "process_count", "local_device_count"}``.
+    """
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+    return {
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "local_device_count": jax.local_device_count(),
+    }
+
+
+def process_local_batch(mesh: Mesh, local_array, ndim: Optional[int] = None):
+    """Assemble a globally batch-sharded array from this process's local shard.
+
+    Single-process: a plain ``device_put`` with the batch sharding.
+    Multi-process: ``jax.make_array_from_process_local_data`` — each process
+    contributes ``global_batch / process_count`` rows and the result is one
+    logical array sharded over the mesh's ``data`` axis (the multi-host
+    analog of DataParallel's scatter, reference dream/network.py:244-284).
+    """
+    import jax
+
+    ndim = ndim if ndim is not None else local_array.ndim
+    sharding = NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+    if jax.process_count() == 1:
+        return jax.device_put(local_array, sharding)
+    return jax.make_array_from_process_local_data(sharding, local_array)
+
+
 def make_mesh(
     n_data: Optional[int] = None,
     n_model: int = 1,

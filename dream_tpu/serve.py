@@ -50,12 +50,20 @@ class DreamInferenceServer:
         base_frame: str = "base_link",
         single_frame_mode: bool = True,
         verbose: bool = False,
+        max_reproj_err_px: Optional[float] = None,
     ):
         self.network = dream_network
         self.network.enable_evaluation()
         self.base_frame = base_frame
         self.single_frame_mode = single_frame_mode
         self.verbose = verbose
+        # Reprojection-error gate: a PnP solution whose mean reprojection
+        # error exceeds this is rejected (pose not published, buffer not
+        # grown).  The reference has no such gate — it publishes every
+        # cv2-"successful" pose — but confidently-wrong clustered detections
+        # produce geometrically-consistent garbage poses; gating on
+        # reprojection error filters them.  None disables (reference parity).
+        self.max_reproj_err_px = max_reproj_err_px
 
         self.camera_K: Optional[np.ndarray] = None
         self.keypoint_positions: Optional[np.ndarray] = None  # FK-provided [n_kp, 3]
@@ -151,10 +159,17 @@ class DreamInferenceServer:
 
         from dream_tpu.ops import geometric_vision as gv
 
-        projs = np.concatenate([self.kp_projs_raw_buffer, candidate_projs])
-        positions = np.concatenate([self.kp_positions_buffer, candidate_positions])
+        # Snapshot the buffers under the lock: ThreadingHTTPServer handles
+        # requests concurrently, so /clear_buffer or a second /image could
+        # otherwise race this read-solve-update sequence.
+        with self._lock:
+            projs = np.concatenate([self.kp_projs_raw_buffer, candidate_projs])
+            positions = np.concatenate(
+                [self.kp_positions_buffer, candidate_positions]
+            )
         if len(projs) < 4:
-            self.pnp_solution_found = False
+            with self._lock:
+                self.pnp_solution_found = False
             return False
 
         result = gv.solve_pnp(
@@ -162,8 +177,13 @@ class DreamInferenceServer:
             jnp.asarray(projs, jnp.float32),
             jnp.asarray(camera_K, jnp.float32),
         )
-        if not bool(result.valid):
-            self.pnp_solution_found = False
+        gated = (
+            self.max_reproj_err_px is not None
+            and float(result.reproj_error) > self.max_reproj_err_px
+        )
+        if not bool(result.valid) or gated:
+            with self._lock:
+                self.pnp_solution_found = False
             return False
 
         # Invert camera-from-robot -> robot-from-camera (reference :463-482).
@@ -230,9 +250,9 @@ class DreamInferenceServer:
             return None
 
         if stream == "net_input_image":
-            arr = np.asarray(detection["image_rgb_net_input"])
-            return PILImage.fromarray(
-                np.uint8(np.clip((arr * 0.5 + 0.5) * 255.0, 0, 255))
+            return viz.image_from_tensor(
+                detection["image_rgb_net_input"],
+                self.network.image_normalization,
             )
         if stream == "keypoint_overlay":
             return viz.overlay_points_on_image(
@@ -270,8 +290,15 @@ class DreamInferenceServer:
 # ---------------------------------------------------------------------------
 
 
-def make_http_server(server: DreamInferenceServer, host: str = "0.0.0.0", port: int = 8080):
-    """Wrap a DreamInferenceServer in a threaded stdlib HTTP server."""
+def make_http_server(server: DreamInferenceServer, host: str = "127.0.0.1", port: int = 8080):
+    """Wrap a DreamInferenceServer in a threaded stdlib HTTP server.
+
+    Binds loopback-only by default: the endpoints are unauthenticated and
+    include state-mutating POSTs and camera debug streams.  Pass
+    ``host="0.0.0.0"`` explicitly (e.g. ``serve_dream.py --host 0.0.0.0``) to
+    expose the node on the network, ideally behind a reverse proxy that adds
+    auth.
+    """
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     class Handler(BaseHTTPRequestHandler):

@@ -37,6 +37,37 @@ def _to_rgb(color) -> tuple:
     return tuple(color)
 
 
+def image_from_tensor(net_input_array, normalization: Optional[dict] = None):
+    """Net-input array -> PIL image (reference dream/image_proc.py:596-609).
+
+    ``net_input_array``: ``[H, W, 3]`` float array (NHWC, the TPU-native
+    layout — the reference's is a CHW torch tensor).  With ``normalization``
+    (``{"mean": [...], "stdev": [...]}``) the normalization is inverted
+    first; otherwise values are assumed to already be in [0, 1].
+    """
+    arr = np.asarray(net_input_array, dtype=np.float32)
+    assert arr.ndim == 3 and arr.shape[-1] == 3, (
+        f"Expected [H, W, 3] net-input array, got shape {arr.shape}."
+    )
+    if normalization is not None:
+        arr = arr * np.asarray(normalization["stdev"]) + np.asarray(
+            normalization["mean"]
+        )
+    return PILImage.fromarray(
+        np.uint8(np.clip(np.rint(arr * 255.0), 0.0, 255.0))
+    )
+
+
+def images_from_tensor(net_input_batch, normalization: Optional[dict] = None):
+    """Batch version (reference dream/image_proc.py:611-631): ``[B, H, W, 3]``
+    -> list of PIL images."""
+    batch = np.asarray(net_input_batch)
+    assert batch.ndim == 4, (
+        f"Expected [B, H, W, 3] net-input batch, got shape {batch.shape}."
+    )
+    return [image_from_tensor(a, normalization) for a in batch]
+
+
 def overlay_points_on_image(
     image_input,
     image_points,

@@ -208,9 +208,13 @@ def convert_resnet(sd, layers=(3, 4, 23, 3)):
         put_deconv((f"up{up_idx}", "deconv"), sd["upsample2.0.weight"].numpy(),
                    sd["upsample2.0.bias"].numpy())
         put_bn((f"up{up_idx}", "bn"), "upsample2.1")
+        # upsample2 Sequential is (ConvTranspose=0, BatchNorm=1, ReLU=2,
+        # Conv2d=3) — reference dream/models.py:124-136 — so the 1x1 head
+        # lives at index 3 (ReLU has no weights and does not consume an index
+        # beyond its own).
         params["head"] = {
-            "kernel": _to_hwio(sd["upsample2.4.weight"].numpy()),
-            "bias": sd["upsample2.4.bias"].numpy(),
+            "kernel": _to_hwio(sd["upsample2.3.weight"].numpy()),
+            "bias": sd["upsample2.3.bias"].numpy(),
         }
 
     return {"params": params, "batch_stats": batch_stats}

@@ -68,9 +68,8 @@ def network_inference(args):
         ).save(os.path.join(out_dir, "keypoints_raw.png"))
 
         # 2. keypoint overlay on the net-input image
-        net_in = np.asarray(detection["image_rgb_net_input"])
-        net_in_img = PILImage.fromarray(
-            np.uint8(np.clip((net_in * 0.5 + 0.5) * 255.0, 0, 255))
+        net_in_img = viz.image_from_tensor(
+            detection["image_rgb_net_input"], dream_network.image_normalization
         )
         viz.overlay_points_on_image(
             net_in_img, detection["detected_keypoints_net_input"],

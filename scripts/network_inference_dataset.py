@@ -34,6 +34,8 @@ def network_inference_dataset(args):
         batch_size=args.batch_size,
         num_workers=args.num_workers,
         pnp_ransac=args.ransac,
+        pnp_weight_by_score=args.pnp_weight_by_score,
+        pnp_reject_outliers_px=args.pnp_reject_outliers_px,
     )
 
 
@@ -58,5 +60,13 @@ if __name__ == "__main__":
     parser.add_argument("--no-pnp", action="store_true", default=False)
     parser.add_argument("--ransac", action="store_true", default=False,
                         help="Use RANSAC PnP (5 px inlier threshold).")
+    parser.add_argument("--pnp-weight-by-score", action="store_true",
+                        default=False,
+                        help="Weight PnP correspondences by belief-map peak "
+                             "score (dream_tpu extension).")
+    parser.add_argument("--pnp-reject-outliers-px", type=float, default=None,
+                        help="Drop correspondences reprojecting worse than "
+                             "this many px after a first solve, then "
+                             "re-refine (dream_tpu extension).")
     parser.add_argument("--no-visualization", action="store_true", default=False)
     network_inference_dataset(parser.parse_args())

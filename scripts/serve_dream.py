@@ -33,10 +33,17 @@ def main():
     parser.add_argument("-b", "--base-frame", required=True,
                         help="Robot base frame name for the published pose.")
     parser.add_argument("-p", "--port", type=int, default=8080)
-    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--host", default="127.0.0.1",
+                        help="Bind address. Loopback by default — the API is "
+                             "unauthenticated; pass 0.0.0.0 to expose it on "
+                             "the network deliberately.")
     parser.add_argument("--multi-frame", action="store_true", default=False,
                         help="Accumulate correspondences across captured frames "
                              "(reference's multi-frame calibration mode).")
+    parser.add_argument("--max-reproj-err-px", type=float, default=None,
+                        help="Reject PnP solutions whose mean reprojection "
+                             "error exceeds this many pixels (off by default, "
+                             "matching the reference).")
     parser.add_argument("-v", "--verbose", action="store_true", default=False)
     args = parser.parse_args()
 
@@ -50,6 +57,7 @@ def main():
         base_frame=args.base_frame,
         single_frame_mode=not args.multi_frame,
         verbose=args.verbose,
+        max_reproj_err_px=args.max_reproj_err_px,
     )
     httpd = make_http_server(server, args.host, args.port)
     print(f"dream_tpu serving on {args.host}:{args.port} "

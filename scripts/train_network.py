@@ -21,6 +21,7 @@ the TPU-native stack:
 from __future__ import annotations
 
 import argparse
+import copy
 import os
 import pickle
 import random
@@ -44,8 +45,56 @@ from dream_tpu.utils import (
     load_image_resolution,
     load_yaml,
     makedirs,
+    save_yaml,
     set_random_seed,
 )
+
+
+def _write_checkpoint(output_dir, stem, config, variables, opt_state=None,
+                      delete_stale_before=None):
+    """Disk half of a checkpoint (runs on the async writer thread)."""
+    save_yaml(config, os.path.join(output_dir, stem + ".yaml"), overwrite=True)
+    with open(os.path.join(output_dir, stem + ".msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(variables))
+    if opt_state is not None:
+        with open(os.path.join(output_dir, stem + ".opt.msgpack"), "wb") as f:
+            f.write(serialization.to_bytes(opt_state))
+    if delete_stale_before is not None:
+        for old_epoch in range(1, delete_stale_before):
+            prev = os.path.join(output_dir, f"epoch_{old_epoch}.msgpack")
+            for stale in [prev, prev.replace(".msgpack", ".yaml"),
+                          prev.replace(".msgpack", ".opt.msgpack")]:
+                if os.path.exists(stale):
+                    os.remove(stale)
+
+
+class _AsyncCheckpointWriter:
+    """Background-thread checkpoint serialization.
+
+    The main loop snapshots params/opt-state to host (required anyway: the
+    fused step donates its input buffers, so the old device arrays die at the
+    next step) and hands the msgpack serialization + disk write — the part
+    that dominates short epochs — to a single worker thread.  At most one
+    write is in flight; a second submit joins the first (checkpointing can
+    never fall behind training by more than one epoch).
+    """
+
+    def __init__(self):
+        import threading
+
+        self._thread: "threading.Thread | None" = None
+
+    def submit(self, fn, *fn_args):
+        import threading
+
+        self.wait()
+        self._thread = threading.Thread(target=fn, args=fn_args, daemon=True)
+        self._thread.start()
+
+    def wait(self):
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
 
 
 def train_network(args):
@@ -54,9 +103,29 @@ def train_network(args):
     assert 0.0 < args.training_data_fraction < 1.0
     validation_data_fraction = 1.0 - args.training_data_fraction
 
+    # Multi-host DP over DCN (dream_tpu extension; the reference is strictly
+    # single-node, SURVEY.md section 2.3).  Must run before any device use.
+    process_index, process_count = 0, 1
+    if getattr(args, "distributed", False):
+        from dream_tpu import parallel as dream_parallel
+
+        dist = dream_parallel.initialize_distributed(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        process_index = dist["process_index"]
+        process_count = dist["process_count"]
+        assert args.batch_size % process_count == 0, (
+            "Global batch size must divide evenly across processes."
+        )
+        print(f"jax.distributed: process {process_index}/{process_count}, "
+              f"{dist['local_device_count']} local devices")
+
     if args.output_dir:
-        save_results = True
-        if not args.resume_training:
+        # In multi-host runs only process 0 writes checkpoints/logs.
+        save_results = process_index == 0
+        if save_results and not args.resume_training:
             makedirs(args.output_dir, exist_ok=args.force_overwrite)
     else:
         assert not args.resume_training, (
@@ -99,7 +168,8 @@ def train_network(args):
         if os.path.exists(log_path):
             with open(log_path, "rb") as f:
                 train_log = pickle.load(f)
-            os.rename(log_path, epoch_log_path)
+            if process_index == 0:
+                os.rename(log_path, epoch_log_path)
         elif os.path.exists(epoch_log_path):
             with open(epoch_log_path, "rb") as f:
                 train_log = pickle.load(f)
@@ -230,6 +300,14 @@ def train_network(args):
         # fine-tuning/transfer, a TPU-native extension over the reference.
         dream_network.load_network_params(args.init_params)
         print(f"Initialized parameters from {args.init_params}")
+    elif args.init_encoder:
+        # Pretrained-encoder warm start — the stand-in for the reference's
+        # ImageNet init (reference dream/models.py:587 pretrained=True);
+        # produce the file with scripts/pretrain_encoder.py or extract it
+        # from converted torchvision weights.
+        n_grafted, n_skipped = dream_network.init_encoder_from(args.init_encoder)
+        print(f"Initialized encoder from {args.init_encoder} "
+              f"({n_grafted} leaves grafted, {n_skipped} shape-skipped)")
     dream_network.enable_training()
     if args.resume_training:
         opt_path = os.path.join(
@@ -271,12 +349,32 @@ def train_network(args):
     train_idx, valid_idx = dream_data.split_indices(
         len(dataset), args.training_data_fraction, random_seed
     )
-    train_loader = dream_data.DataLoader(
-        dataset, args.batch_size, shuffle=True, seed=random_seed, indices=train_idx
+    local_batch_size = args.batch_size
+    if process_count > 1:
+        # Each process loads a disjoint, equal-size partition of the split
+        # and contributes local_batch rows per step; the global batch is
+        # assembled on device (network._shard_batch -> process_local_batch).
+        def partition(idx):
+            n = len(idx) // process_count * process_count
+            return idx[:n][process_index::process_count]
+
+        train_idx = partition(train_idx)
+        valid_idx = partition(valid_idx)
+        local_batch_size = args.batch_size // process_count
+    # --cache-device keeps the decoded dataset resident in HBM and serves
+    # batches as device-side gathers — zero steady-state host work.  The
+    # streaming DataLoader (host decode + prefetch thread) remains the
+    # default for datasets that don't fit.
+    loader_cls = (
+        dream_data.DeviceCachedLoader if args.cache_device else dream_data.DataLoader
     )
-    valid_loader = dream_data.DataLoader(
-        dataset, args.batch_size, shuffle=False, seed=random_seed, indices=valid_idx,
-        drop_last=False,
+    train_loader = loader_cls(
+        dataset, local_batch_size, shuffle=True, seed=random_seed,
+        indices=train_idx,
+    )
+    valid_loader = loader_cls(
+        dataset, local_batch_size, shuffle=False, seed=random_seed,
+        indices=valid_idx, drop_last=False,
     )
 
     process_train = dream_data.make_batch_processor(
@@ -302,6 +400,7 @@ def train_network(args):
     )
 
     aug_key = jax.random.PRNGKey(random_seed)
+    ckpt_writer = _AsyncCheckpointWriter()
 
     print("\nTRAINING NETWORK ~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~\n")
     last_epoch_timestamp = 0.0
@@ -326,34 +425,50 @@ def train_network(args):
                 jnp.asarray(host_batch["image_rgb_raw"]),
                 jnp.asarray(host_batch["keypoint_projections_raw"]),
             )
-            training_batch_losses.append(float(loss))
+            # Keep the loss on device: a float() here would sync every step
+            # and stall the dispatch pipeline; fetch once per epoch below.
+            training_batch_losses.append(loss)
             training_batch_sample_names.append(
                 dataset.sample_names(host_batch["indices"])
             )
             if args.verbose:
-                print(f"  batch {batch_idx}: loss {training_batch_losses[-1]:.6f}")
+                print(f"  batch {batch_idx}: loss {float(loss):.6f}")
 
+        training_batch_losses = [
+            float(x) for x in jax.device_get(training_batch_losses)
+        ]
         mean_training_loss = float(np.mean(training_batch_losses))
         std_training_loss = float(np.std(training_batch_losses))
 
-        # Validation phase.
+        # Validation phase (--valid-every thins it for long runs; the final
+        # epoch always validates so best_network stays meaningful).
+        run_validation = (
+            this_epoch % args.valid_every == 0 or this_epoch == args.epochs
+        )
         valid_batch_losses = []
         valid_batch_sample_names = []
-        for host_batch in valid_loader:
-            batch = process_valid(
-                jax.random.PRNGKey(0),
-                jnp.asarray(host_batch["image_rgb_raw"]),
-                jnp.asarray(host_batch["keypoint_projections_raw"]),
-            )
-            vloss = dream_network.loss(
-                [batch["image_rgb_input"]], batch["belief_maps"]
-            )
-            valid_batch_losses.append(float(vloss))
-            valid_batch_sample_names.append(
-                dataset.sample_names(host_batch["indices"])
-            )
-        mean_valid_loss = float(np.mean(valid_batch_losses))
-        std_valid_loss = float(np.std(valid_batch_losses))
+        if run_validation:
+            for host_batch in valid_loader:
+                batch = process_valid(
+                    jax.random.PRNGKey(0),
+                    jnp.asarray(host_batch["image_rgb_raw"]),
+                    jnp.asarray(host_batch["keypoint_projections_raw"]),
+                )
+                vloss = dream_network.loss(
+                    [batch["image_rgb_input"]], batch["belief_maps"]
+                )
+                valid_batch_losses.append(vloss)
+                valid_batch_sample_names.append(
+                    dataset.sample_names(host_batch["indices"])
+                )
+            valid_batch_losses = [
+                float(x) for x in jax.device_get(valid_batch_losses)
+            ]
+            mean_valid_loss = float(np.mean(valid_batch_losses))
+            std_valid_loss = float(np.std(valid_batch_losses))
+        else:
+            mean_valid_loss = float("nan")
+            std_valid_loss = float("nan")
 
         # Bookkeeping (reference scripts/train_network.py:587-609).
         results = dream_network.network_config["training"]["results"]
@@ -361,24 +476,31 @@ def train_network(args):
         results["training_loss"] = {
             "mean": mean_training_loss, "stdev": std_training_loss,
         }
-        results["validation_loss"] = {
-            "mean": mean_valid_loss, "stdev": std_valid_loss,
-        }
+        if run_validation:
+            results["validation_loss"] = {
+                "mean": mean_valid_loss, "stdev": std_valid_loss,
+            }
         print(
             f"Training Loss (batch-wise mean +- 1 stdev): "
             f"{mean_training_loss} +- {std_training_loss}"
         )
-        print(
-            f"Validation Loss (batch-wise mean +- 1 stdev): "
-            f"{mean_valid_loss} +- {std_valid_loss}"
-        )
+        if run_validation:
+            print(
+                f"Validation Loss (batch-wise mean +- 1 stdev): "
+                f"{mean_valid_loss} +- {std_valid_loss}"
+            )
 
-        if mean_valid_loss < best_valid_loss:
+        if run_validation and mean_valid_loss < best_valid_loss:
             print("Best network result so far.")
             best_valid_loss = mean_valid_loss
             if save_results:
-                dream_network.save_network(
-                    args.output_dir, "best_network", overwrite=True
+                # Snapshot to host (the fused step donates its inputs, so
+                # the device arrays die at the next step) and write on the
+                # checkpoint thread.
+                ckpt_writer.submit(
+                    _write_checkpoint, args.output_dir, "best_network",
+                    copy.deepcopy(dream_network.network_config),
+                    jax.device_get(dream_network.variables),
                 )
 
         if args.profile_dir and e == start_epoch + 1:
@@ -413,26 +535,15 @@ def train_network(args):
             # per-epoch cost); default 1 == reference parity (checkpoint
             # every epoch, reference scripts/train_network.py:641-659).
             if this_epoch % args.checkpoint_every == 0 or this_epoch == args.epochs:
-                dream_network.save_network(
-                    args.output_dir, f"epoch_{this_epoch}", overwrite=True
+                ckpt_writer.submit(
+                    _write_checkpoint, args.output_dir, f"epoch_{this_epoch}",
+                    copy.deepcopy(dream_network.network_config),
+                    jax.device_get(dream_network.variables),
+                    jax.device_get(dream_network.opt_state),
+                    this_epoch,
                 )
-                with open(
-                    os.path.join(args.output_dir, f"epoch_{this_epoch}.opt.msgpack"),
-                    "wb",
-                ) as f:
-                    f.write(serialization.to_bytes(dream_network.opt_state))
-                for old_epoch in range(1, this_epoch):
-                    prev_params = os.path.join(
-                        args.output_dir, f"epoch_{old_epoch}.msgpack"
-                    )
-                    for stale in [
-                        prev_params,
-                        prev_params.replace(".msgpack", ".yaml"),
-                        prev_params.replace(".msgpack", ".opt.msgpack"),
-                    ]:
-                        if os.path.exists(stale):
-                            os.remove(stale)
 
+    ckpt_writer.wait()
     if save_results:
         final_log = os.path.join(args.output_dir, "training_log.pkl")
         os.rename(epoch_training_log_path, final_log)
@@ -467,14 +578,34 @@ def make_parser():
                         help="Data-parallel mesh axis size (replaces --gpu-ids).")
     parser.add_argument("--mesh-model", type=int, default=1,
                         help="Model-parallel mesh axis size.")
+    parser.add_argument("--distributed", action="store_true", default=False,
+                        help="Initialize jax.distributed for multi-host DP "
+                             "over DCN (auto-detects on Cloud TPU pods; see "
+                             "dream_tpu/parallel/mesh.py for the pod recipe).")
+    parser.add_argument("--coordinator-address", default=None,
+                        help="host:port of process 0 (omit on TPU pods).")
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
     parser.add_argument("--init-params", default=None,
                         help="Warm-start parameters from a .msgpack checkpoint "
                              "(fresh optimizer; unlike --resume-training).")
+    parser.add_argument("--init-encoder", default=None,
+                        help="Warm-start only the VGG encoder trunk from a "
+                             "pretrained subtree (scripts/pretrain_encoder.py) "
+                             "— the ImageNet-init substitute.")
     parser.add_argument("--profile-dir", default=None,
                         help="Write a jax.profiler device trace of one epoch.")
     parser.add_argument("--checkpoint-every", type=int, default=1,
                         help="Save epoch_N checkpoints every N epochs "
                              "(best_network is always saved when improved).")
+    parser.add_argument("--valid-every", type=int, default=1,
+                        help="Run the validation pass every N epochs (the "
+                             "final epoch always validates). 1 == reference "
+                             "parity.")
+    parser.add_argument("--cache-device", action="store_true", default=False,
+                        help="Decode the dataset once and keep it resident "
+                             "in device memory; batches become device-side "
+                             "gathers (for datasets that fit HBM).")
     parser.add_argument("-s", "--random-seed", type=int)
     parser.add_argument("-v", "--verbose", action="store_true", default=False)
     parser.add_argument("-r", "--resume-training", action="store_true", default=False)

@@ -100,9 +100,9 @@ def visualize_network_inference(args):
             ).save(os.path.join(frame_dirs[KP_OVERLAY_RAW], name))
 
         if KP_OVERLAY_NET_INPUT in viz_types:
-            net_in = np.asarray(detection["image_rgb_net_input"])
-            net_in_img = PILImage.fromarray(
-                np.uint8(np.clip((net_in * 0.5 + 0.5) * 255.0, 0, 255))
+            net_in_img = viz.image_from_tensor(
+                detection["image_rgb_net_input"],
+                net.image_normalization,
             )
             viz.overlay_points_on_image(
                 net_in_img, detection["detected_keypoints_net_input"],

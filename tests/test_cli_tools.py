@@ -158,3 +158,49 @@ def test_other_manipulators_end_to_end(tmp_path, manip, n_kp):
     belief, kps = net.inference(batch["image_rgb_input"])
     assert belief.shape == (2, n_kp, 16, 16)
     assert kps.shape == (2, n_kp, 2)
+
+
+def test_parity_check_add_convention_resolution(tmp_path):
+    """parity_check.resolve_add_convention detects which rotation convention
+    a reference pnp_results.csv was computed with (the pyrr matrix33
+    ambiguity, see dream_tpu/ops/geometric_vision.py:add_from_pose)."""
+    import csv
+
+    import jax.numpy as jnp
+
+    from dream_tpu import data as dream_data
+    from dream_tpu.ops import geometric_vision as gv
+    from dream_tpu.utils import find_ndds_data_in_dir
+    from dream_tpu.utils.ndds import load_keypoints
+    from parity_check import resolve_add_convention
+
+    data_dir = str(tmp_path / "data")
+    dream_data.generate_synthetic_ndds(
+        data_dir, n_frames=6, image_resolution=(160, 120), seed=9,
+        out_of_frame_fraction=0.0,
+    )
+    found, _ = find_ndds_data_in_dir(data_dir)
+    names = dream_data.DEFAULT_KEYPOINT_NAMES
+
+    rng = np.random.RandomState(0)
+    for convention in ("standard", "transposed"):
+        csv_path = str(tmp_path / f"ref_pnp_{convention}.csv")
+        with open(csv_path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["name", "pnp_success", "pose_x", "pose_y", "pose_z",
+                        "pose_qx", "pose_qy", "pose_qz", "pose_qw", "add",
+                        "n_inframe_gt_projs"])
+            for datum in found:
+                kp = load_keypoints(datum["data_path"], "panda", names)
+                X = jnp.asarray(kp["positions_wrt_cam"], jnp.float32)
+                rvec = jnp.asarray(rng.randn(3) * 0.02, jnp.float32)
+                q = gv.convert_rvec_to_quaternion(rvec)
+                t = rng.randn(3) * 0.02
+                add = float(gv.add_from_pose(
+                    jnp.asarray(t, jnp.float32), q, X,
+                    rotation_convention=convention,
+                ))
+                w.writerow([datum["name"], "True", *t, *np.asarray(q), add, 7])
+        winner, detail = resolve_add_convention(csv_path, data_dir, "panda", names)
+        assert winner == convention, (convention, detail)
+        assert detail["n_frames"] == 6

@@ -166,3 +166,61 @@ def test_native_loader_matches_pil(synth):
     a = ds_native.load_images([0, 2, 4])
     b = ds_pil.load_images([0, 2, 4])
     np.testing.assert_array_equal(a, b)
+
+
+def test_device_cached_loader_matches_dataloader(synth):
+    """DeviceCachedLoader serves the same batches as DataLoader (device-side
+    gathers over an HBM-resident dataset)."""
+    idx = [1, 3, 5, 7, 9, 2]
+    dl = dream_data.DataLoader(synth, 3, shuffle=True, seed=7, indices=idx)
+    cl = dream_data.DeviceCachedLoader(synth, 3, shuffle=True, seed=7, indices=idx)
+    dl.set_epoch(2)
+    cl.set_epoch(2)
+    got_d = list(dl)
+    got_c = list(cl)
+    assert len(got_d) == len(got_c) == 2
+    for bd, bc in zip(got_d, got_c):
+        np.testing.assert_array_equal(bd["indices"], np.asarray(bc["indices"]))
+        np.testing.assert_array_equal(
+            bd["image_rgb_raw"], np.asarray(bc["image_rgb_raw"])
+        )
+        np.testing.assert_allclose(
+            bd["keypoint_projections_raw"],
+            np.asarray(bc["keypoint_projections_raw"]),
+        )
+
+
+def test_heavy_debug_dumps_to_disk(tmp_path):
+    """HEAVY level dumps GT overlays + belief-map mosaics; INTERACTIVE adds
+    the offline contact sheet (reference dream/datasets.py:210-271, whose
+    HEAVY branch is an unimplemented TODO)."""
+    data_dir = str(tmp_path / "data")
+    dream_data.generate_synthetic_ndds(
+        data_dir, n_frames=3, image_resolution=(160, 120), seed=5
+    )
+    debug_dir = str(tmp_path / "dbg")
+    dataset = dream_data.ManipulatorNDDSDataset(
+        data_dir,
+        "panda",
+        dream_data.DEFAULT_KEYPOINT_NAMES,
+        network_input_resolution=(96, 96),
+        network_output_resolution=(24, 24),
+        image_preprocessing="shrink-and-crop",
+        debug_mode=dream_data.ManipulatorNDDSDatasetDebugLevels.INTERACTIVE,
+        debug_dir=debug_dir,
+    )
+    dataset.host_batch([0, 2])
+    import os
+
+    files = sorted(os.listdir(debug_dir))
+    for name in ("000000", "000002"):
+        for kind in ("gt_overlay_raw", "gt_overlay_net_input", "gt_belief_maps"):
+            assert f"{name}_{kind}.png" in files
+    assert "000001_gt_overlay_raw.png" not in files
+    assert "index.html" in files
+    sheet = open(os.path.join(debug_dir, "index.html")).read()
+    assert "000002_gt_belief_maps.png" in sheet
+    # Re-serving the same samples does not redo the work.
+    before = len(files)
+    dataset.host_batch([0])
+    assert len(os.listdir(debug_dir)) == before

@@ -133,3 +133,68 @@ def test_train_on_mesh(env):
         log = pickle.load(f)
     assert len(log["losses"]) == 1
     assert np.isfinite(log["losses"][0])
+
+
+def test_train_cache_device_valid_every(env):
+    """Device-resident dataset cache + thinned validation (host-overhead
+    path: async checkpoint writes, per-epoch loss fetch)."""
+    from train_network import make_parser, train_network
+
+    out_dir = str(env["root"] / "train_cached")
+    args = make_parser().parse_args([
+        "-i", env["data"], "-m", env["manip"], "-ar", env["arch"],
+        "-e", "3", "-b", "4", "-o", out_dir, "-s", "7", "-w", "2",
+        "-not-a", "--cache-device", "--valid-every", "2",
+        "--checkpoint-every", "3",
+    ])
+    train_network(args)
+
+    files = set(os.listdir(out_dir))
+    assert "best_network.msgpack" in files
+    assert "epoch_3.msgpack" in files and "epoch_3.opt.msgpack" in files
+    assert "epoch_1.msgpack" not in files and "epoch_2.msgpack" not in files
+
+    with open(os.path.join(out_dir, "training_log.pkl"), "rb") as f:
+        log = pickle.load(f)
+    assert log["epochs"] == [1, 2, 3]
+    assert all(np.isfinite(v) for v in log["losses"])
+    # Epoch 1 skipped validation (NaN); epochs 2 (every-2) and 3 (final) ran.
+    assert np.isnan(log["validation_losses"][0])
+    assert np.isfinite(log["validation_losses"][1])
+    assert np.isfinite(log["validation_losses"][2])
+
+
+def test_analyze_ransac_and_robust_pnp_paths(env):
+    """End-to-end analysis with --ransac and the robust-PnP extensions.
+
+    Regression-pins the round-1 finding that RANSAC traded outliers for
+    failed frames: with the consensus fallback, RANSAC's PnP success count
+    can never drop below single-solve's.  (Runs after
+    test_train_resume_analyze, reusing its trained checkpoint.)
+    """
+    from dream_tpu import analysis as dream_analysis
+
+    out_dir = str(env["root"] / "train_out")
+    ckpt = os.path.join(out_dir, "best_network.msgpack")
+    if not os.path.exists(ckpt):
+        pytest.skip("training test did not run first")
+    cfg = os.path.join(out_dir, "best_network.yaml")
+
+    def run(tag, **kwargs):
+        adir = str(env["root"] / f"analysis_{tag}")
+        return dream_analysis.analyze_ndds_dataset(
+            ckpt, cfg, env["data"], adir,
+            visualize_belief_maps=False, pnp_analysis=True,
+            batch_size=8, num_workers=2, **kwargs,
+        )
+
+    _, pnp_plain = run("plain")
+    _, pnp_ransac = run("ransac", pnp_ransac=True)
+    _, pnp_robust = run(
+        "robust", pnp_weight_by_score=True, pnp_reject_outliers_px=10.0
+    )
+
+    assert pnp_ransac["num_pnp_found"] >= pnp_plain["num_pnp_found"]
+    for result in (pnp_plain, pnp_ransac, pnp_robust):
+        assert result["num_pnp_possible"] == pnp_plain["num_pnp_possible"]
+        assert 0.0 <= result["add_auc"] <= 1.0

@@ -80,3 +80,22 @@ def test_soft_argmax_module():
     np.testing.assert_allclose(
         np.asarray(coords), [[20.0, 10.0], [5.0, 25.0]], atol=0.5
     )
+
+
+def test_image_from_tensor_roundtrip():
+    """image_from_tensor(s) invert the normalization exactly (reference
+    dream/image_proc.py:596-631 analog, NHWC)."""
+    import numpy as np
+
+    from dream_tpu import visualize as viz
+
+    rng = np.random.RandomState(0)
+    raw = rng.randint(0, 255, size=(2, 8, 8, 3), dtype=np.uint8)
+    norm = {"mean": [0.5] * 3, "stdev": [0.5] * 3}
+    net_in = (raw.astype(np.float32) / 255.0 - 0.5) / 0.5
+    imgs = viz.images_from_tensor(net_in, norm)
+    assert len(imgs) == 2
+    np.testing.assert_array_equal(np.asarray(imgs[0]), raw[0])
+    # Unnormalized path assumes [0, 1].
+    img = viz.image_from_tensor(raw[1].astype(np.float32) / 255.0)
+    np.testing.assert_array_equal(np.asarray(img), raw[1])

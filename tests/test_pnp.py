@@ -178,3 +178,121 @@ def test_solve_pnp_ransac_vmapped():
     )
     assert np.all(np.asarray(res.valid))
     assert np.all(np.asarray(res.reproj_error) < 1.0)
+
+
+def test_add_from_pose_weights_subset():
+    """ADD over the detected subset only (reference passes kp_pos_gt_pnp —
+    dream/analysis.py:322-339 — not all GT keypoints)."""
+    kp = jnp.array([[0.1, 0.2, 0.9], [0.3, -0.2, 1.2], [5.0, 5.0, 5.0]])
+    t = jnp.array([0.05, 0.0, 0.0])
+    q = jnp.array([0.0, 0.0, 0.0, 1.0])
+    # Pure translation: every point moves 0.05, so the masked mean is also
+    # 0.05 — use a rotation to make the subset matter.
+    qz = jnp.array([0.0, 0.0, np.sin(0.05), np.cos(0.05)])  # 0.1 rad about z
+    add_all = gv.add_from_pose(t, qz, kp)
+    add_sub = gv.add_from_pose(t, qz, kp, weights=jnp.array([1.0, 1.0, 0.0]))
+    add_sub_manual = gv.add_from_pose(t, qz, kp[:2])
+    np.testing.assert_allclose(float(add_sub), float(add_sub_manual), rtol=1e-6)
+    assert abs(float(add_all) - float(add_sub)) > 1e-3  # far point dominates
+
+
+def test_add_rotation_convention_matters():
+    """Documents why add_from_pose exposes ``rotation_convention``: for
+    PnP-recovered poses, R and t errors are anticorrelated (R x + t ~= x), so
+    applying R^T (pyrr's possible row-vector matrix33 layout, reference
+    dream/geometric_vision.py:185) inflates ADD by ~3x — the two candidate
+    reference conventions are NOT interchangeable and parity_check.py must
+    resolve them against real reference CSVs."""
+    rng = np.random.RandomState(0)
+    K = jnp.asarray([[615.0, 0, 320], [0, 615.0, 240], [0, 0, 1]], jnp.float32)
+    solve = jax.jit(lambda X, uv: gv.solve_pnp(X, uv, K))
+    add_std, add_T = [], []
+    for _ in range(10):
+        X = rng.randn(7, 3) * 0.3 + np.array([0, 0, 1.0])
+        uv = np.array(gv.point_projection_from_3d(K, jnp.asarray(X, jnp.float32)))
+        uv = uv + rng.randn(*uv.shape) * 2.0
+        res = solve(jnp.asarray(X, jnp.float32), jnp.asarray(uv, jnp.float32))
+        Xj = jnp.asarray(X, jnp.float32)
+        add_std.append(float(gv.add_from_pose(res.translation, res.quaternion, Xj)))
+        add_T.append(float(gv.add_from_pose(
+            res.translation, res.quaternion, Xj,
+            rotation_convention="transposed",
+        )))
+    assert np.mean(add_T) > 1.5 * np.mean(add_std)
+    # With zero translation the two conventions agree exactly
+    # (||R x - x|| == ||x - R^T x||).
+    kp = jnp.asarray(rng.randn(5, 3), jnp.float32)
+    q = gv.convert_rvec_to_quaternion(jnp.array([0.3, -0.2, 0.5]))
+    t0 = jnp.zeros(3)
+    np.testing.assert_allclose(
+        float(gv.add_from_pose(t0, q, kp)),
+        float(gv.add_from_pose(t0, q, kp, rotation_convention="transposed")),
+        rtol=1e-5,
+    )
+
+
+def test_solve_pnp_reject_outliers_recovers_pose():
+    """The deterministic outlier-rejection pass fixes one grossly-wrong
+    detection without RANSAC randomness."""
+    rng = np.random.RandomState(11)
+    K, X, uv, R_gt, t_gt = _random_problem(rng, n_points=7, noise_px=0.5)
+    uv_bad = uv.copy()
+    uv_bad[2] += np.array([120.0, -80.0])  # confidently-wrong keypoint
+
+    Xj = jnp.asarray(X, jnp.float32)
+    uvj = jnp.asarray(uv_bad, jnp.float32)
+    Kj = jnp.asarray(K, jnp.float32)
+
+    plain = gv.solve_pnp(Xj, uvj, Kj)
+    robust = gv.solve_pnp(Xj, uvj, Kj, reject_outliers_px=8.0)
+    assert bool(robust.valid)
+    t_err_plain = float(np.linalg.norm(np.asarray(plain.translation) - t_gt))
+    t_err_robust = float(np.linalg.norm(np.asarray(robust.translation) - t_gt))
+    assert t_err_robust < t_err_plain
+    assert t_err_robust < 0.02
+    # Clean input: the pass is a no-op (no point exceeds the threshold).
+    clean = gv.solve_pnp(Xj, jnp.asarray(uv, jnp.float32), Kj,
+                         reject_outliers_px=8.0)
+    base = gv.solve_pnp(Xj, jnp.asarray(uv, jnp.float32), Kj)
+    np.testing.assert_allclose(
+        np.asarray(clean.translation), np.asarray(base.translation), atol=1e-5
+    )
+
+
+def test_solve_pnp_soft_confidence_weights():
+    """Continuous weights down-weight a noisy detection; validity counting
+    still uses the >0 mask (not the weight sum)."""
+    rng = np.random.RandomState(12)
+    K, X, uv, R_gt, t_gt = _random_problem(rng, n_points=6, noise_px=0.0)
+    uv_noisy = uv.copy()
+    uv_noisy[0] += np.array([25.0, -30.0])
+
+    Xj = jnp.asarray(X, jnp.float32)
+    Kj = jnp.asarray(K, jnp.float32)
+    w = jnp.asarray([0.02, 1.0, 1.0, 1.0, 1.0, 1.0], jnp.float32)
+
+    weighted = gv.solve_pnp(Xj, jnp.asarray(uv_noisy, jnp.float32), Kj, weights=w)
+    unweighted = gv.solve_pnp(Xj, jnp.asarray(uv_noisy, jnp.float32), Kj)
+    assert bool(weighted.valid)
+    t_err_w = float(np.linalg.norm(np.asarray(weighted.translation) - t_gt))
+    t_err_u = float(np.linalg.norm(np.asarray(unweighted.translation) - t_gt))
+    assert t_err_w < t_err_u
+    # Tiny-but-positive weights keep points countable: 4 points each with
+    # weight 0.1 must still be a valid (>=4 correspondences) problem.
+    w4 = jnp.asarray([0.1, 0.1, 0.1, 0.1, 0.0, 0.0], jnp.float32)
+    r4 = gv.solve_pnp(Xj, jnp.asarray(uv, jnp.float32), Kj, weights=w4)
+    assert bool(r4.valid)
+
+
+def test_solve_pnp_ransac_fallback_when_consensus_fails():
+    """With a tight inlier threshold and noisy points, RANSAC falls back to
+    the all-point solve instead of failing the frame."""
+    rng = np.random.RandomState(13)
+    K, X, uv, _, _ = _random_problem(rng, n_points=7, noise_px=12.0)
+    result, inliers = gv.solve_pnp_ransac(
+        jnp.asarray(X, jnp.float32), jnp.asarray(uv, jnp.float32),
+        jnp.asarray(K, jnp.float32), key=jax.random.PRNGKey(0),
+        inlier_thresh_px=0.5,  # stricter than the 12 px noise -> no consensus
+    )
+    assert bool(result.valid)
+    assert np.asarray(inliers).sum() == 7  # fallback marks all valid points

@@ -195,3 +195,41 @@ def test_pose_triad_debug_stream():
     arr = np.asarray(img)
     # Triad axis lines must have been drawn (non-black pixels on black input).
     assert (arr.sum(axis=-1) > 0).sum() > 20
+
+
+def test_serve_reproj_error_gate():
+    """max_reproj_err_px rejects geometrically-inconsistent solutions (one
+    corrupted correspondence) while clean frames still publish."""
+    K, X, uv, t_gt = _make_scene()
+    uv_bad = uv.copy()
+    uv_bad[1] += [60.0, -45.0]  # confidently-wrong detection
+    image = np.zeros((240, 320, 3), np.uint8)
+
+    # Gated server rejects the corrupted frame...
+    net = _OracleNetwork(uv_bad)
+    gated = DreamInferenceServer(
+        net, base_frame="base", single_frame_mode=True, max_reproj_err_px=3.0
+    )
+    gated.on_camera_info(K[0, 0], K[1, 1], K[0, 2], K[1, 2])
+    gated.on_keypoint_positions(X)
+    status = gated.process_image(image)
+    assert status["pnp"] is False
+    assert gated.get_pose()["ok"] is False
+
+    # ...an ungated server publishes it (reference parity), and the gated
+    # server accepts a clean frame.
+    ungated = DreamInferenceServer(
+        _OracleNetwork(uv_bad), base_frame="base", single_frame_mode=True
+    )
+    ungated.on_camera_info(K[0, 0], K[1, 1], K[0, 2], K[1, 2])
+    ungated.on_keypoint_positions(X)
+    assert ungated.process_image(image)["pnp"] is True
+
+    clean = DreamInferenceServer(
+        _OracleNetwork(uv), base_frame="base", single_frame_mode=True,
+        max_reproj_err_px=3.0,
+    )
+    clean.on_camera_info(K[0, 0], K[1, 1], K[0, 2], K[1, 2])
+    clean.on_keypoint_positions(X)
+    assert clean.process_image(image)["pnp"] is True
+    assert clean.get_pose()["ok"] is True

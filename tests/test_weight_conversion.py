@@ -197,6 +197,54 @@ def _torch_resnet_simple(n_keypoints=2, layers=(1, 1, 1, 1)):
     return TorchResnetSimple()
 
 
+def _add_full_decoder(tmodel, n_keypoints):
+    """Swap in the full-variant decoder: reference dream/models.py:80-136 —
+    ``upsample`` keeps only the 4 deconv blocks (no head) and ``upsample2``
+    is (ConvTranspose=0, BatchNorm=1, ReLU=2, Conv2d=3)."""
+    ups = list(tmodel.upsample.children())[:-1]  # drop the 1x1 head
+    tmodel.upsample = nn.Sequential(*ups)
+    tmodel.upsample2 = nn.Sequential(
+        nn.ConvTranspose2d(256, 256, 4, 2, 1),
+        nn.BatchNorm2d(256),
+        nn.ReLU(inplace=True),
+        nn.Conv2d(256, n_keypoints, 1),
+    )
+    def forward_full(x):
+        x = tmodel.maxpool(tmodel.relu(tmodel.bn1(tmodel.conv1(x))))
+        x = tmodel.layer4(tmodel.layer3(tmodel.layer2(tmodel.layer1(x))))
+        return tmodel.upsample2(tmodel.upsample(x))
+
+    tmodel.forward = forward_full
+    return tmodel
+
+
+def test_resnet_full_conversion_value_parity():
+    """Full-variant (dream_resnet_f) head lives at upsample2.3, not .4."""
+    from convert_torch_weights import convert_resnet
+    from dream_tpu.models import ResnetSimple
+
+    torch.manual_seed(3)
+    layers = (1, 1, 1, 1)
+    tmodel = _add_full_decoder(
+        _torch_resnet_simple(n_keypoints=2, layers=layers), n_keypoints=2
+    )
+    tmodel.eval()
+
+    x = np.random.RandomState(4).rand(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        t_out = tmodel(torch.from_numpy(x)).numpy()
+
+    variables = convert_resnet(tmodel.state_dict(), layers=layers)
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+
+    fmodel = ResnetSimple(n_keypoints=2, layers=layers, full=True)
+    f_out = fmodel.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                         train=False)[0]
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(f_out), -1, 1), t_out, atol=3e-4
+    )
+
+
 def test_resnet_conversion_value_parity():
     from convert_torch_weights import convert_resnet
     from dream_tpu.models import ResnetSimple
