@@ -460,16 +460,41 @@ class DeviceCachedLoader:
         n = len(self.indices)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    @property
+    def device_images(self):
+        """The HBM-resident raw image array ``[N, H, W, 3] uint8``."""
+        return self._images
+
+    @property
+    def device_kp_projs(self):
+        """The HBM-resident raw keypoint projections ``[N, n_kp, 2]``."""
+        return self._kp_projs
+
     def set_epoch(self, epoch: int) -> None:
         self._epoch = epoch
+
+    def epoch_order(self, epoch: int) -> np.ndarray:
+        """The (seeded) position permutation this loader uses for ``epoch``."""
+        order = np.arange(len(self.indices))
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + epoch)
+            rng.shuffle(order)
+        return order
+
+    def epoch_index_matrix(self, epoch: int) -> np.ndarray:
+        """``[n_steps, batch]`` gather positions into the cached device
+        arrays for ``epoch`` — the input DreamNetwork.train_epoch_raw scans
+        over to run the whole epoch as one device dispatch."""
+        order = self.epoch_order(epoch)
+        n_steps = len(self.indices) // self.batch_size  # scan needs full rows
+        return order[: n_steps * self.batch_size].reshape(
+            n_steps, self.batch_size
+        )
 
     def __iter__(self):
         import jax.numpy as jnp
 
-        order = np.arange(len(self.indices))
-        if self.shuffle:
-            rng = np.random.RandomState(self.seed + self._epoch)
-            rng.shuffle(order)
+        order = self.epoch_order(self._epoch)
         for i in range(len(self)):
             sel = order[i * self.batch_size : (i + 1) * self.batch_size]
             sel_dev = jnp.asarray(sel)

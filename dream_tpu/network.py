@@ -76,6 +76,28 @@ def _huber_loss(pred, target):
     return jnp.mean(jnp.where(d < 1.0, 0.5 * d * d, d - 0.5))
 
 
+def _weighted_mse_loss(pos_weight: float):
+    """MSE with belief-mass-proportional pixel weights.
+
+    Belief-map targets are ~99.9% zeros (a 100x100 map holds seven sigma=2
+    Gaussians), so plain MSE has a strong local optimum at the all-zero
+    output — from random init the reference recipe sits on that plateau for
+    thousands of steps (it is rescued by ImageNet-pretrained encoders, which
+    this environment cannot download).  Weighting each pixel's squared error
+    by ``1 + (pos_weight-1) * target`` makes the zero output pay ``pos_weight``
+    x at peak centers, removing the plateau while keeping the optimum (exact
+    target reproduction) unchanged.  TPU-native training extension — select
+    with ``loss: {type: weighted_mse, pos_weight: N}``; the reference default
+    (``mse``) is untouched.
+    """
+
+    def criterion(pred, target):
+        w = 1.0 + (pos_weight - 1.0) * jnp.clip(target, 0.0, 1.0)
+        return jnp.sum(w * (pred - target) ** 2) / jnp.sum(w)
+
+    return criterion
+
+
 class DreamNetwork:
     """Config-validated model + loss + inference + (de)serialization."""
 
@@ -197,6 +219,10 @@ class DreamNetwork:
             self.criterion = _mse_loss
         elif loss_type == "huber":
             self.criterion = _huber_loss
+        elif loss_type == "weighted_mse":
+            self.criterion = _weighted_mse_loss(
+                float(arch["loss"].get("pos_weight", 100.0))
+            )
         else:
             raise AssertionError("Loss not yet implemented.")
 
@@ -448,6 +474,73 @@ class DreamNetwork:
             return new_vars, opt_state, loss
 
         self._fused_train_step = fused_step
+
+    def enable_scanned_training(self, batch_processor):
+        """Compile a whole-epoch training dispatch over a device-resident set.
+
+        Through a remote/relayed TPU every dispatch pays a host round trip; a
+        19-step epoch of ~114 ms steps realizes <100 imgs/s because the relay
+        latency serializes between steps.  With the dataset resident in HBM
+        (data.DeviceCachedLoader) the entire epoch — shuffled gathers,
+        augmentation, GT belief maps, forward, backward, optimizer — is ONE
+        ``lax.scan`` dispatch: realized throughput tracks the fused step rate.
+        No reference counterpart (its DataLoader crosses a process boundary
+        every batch, reference scripts/train_network.py:464-659).
+        """
+        self.enable_fused_training(batch_processor)
+        optimizer = self.optimizer
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def epoch_fn(variables, opt_state, key, images_ref, kp_ref, idx):
+            keys = jax.random.split(key, idx.shape[0])
+
+            def body(carry, xs):
+                variables, opt_state = carry
+                sel, step_key = xs
+                batch = batch_processor(
+                    step_key,
+                    jnp.take(images_ref, sel, axis=0),
+                    jnp.take(kp_ref, sel, axis=0),
+                )
+
+                def compute(params):
+                    vars_in = dict(variables, params=params)
+                    return self.loss_fn(
+                        vars_in, batch["image_rgb_input"], batch["belief_maps"],
+                        train=True,
+                    )
+
+                (loss, new_bs), grads = jax.value_and_grad(
+                    compute, has_aux=True
+                )(variables["params"])
+                updates, opt_state = optimizer.update(
+                    grads, opt_state, variables["params"]
+                )
+                params = optax.apply_updates(variables["params"], updates)
+                new_vars = dict(variables, params=params)
+                if new_bs is not None:
+                    new_vars["batch_stats"] = new_bs
+                return (new_vars, opt_state), loss
+
+            (variables, opt_state), losses = jax.lax.scan(
+                body, (variables, opt_state), (idx, keys)
+            )
+            return variables, opt_state, losses
+
+        self._scanned_epoch = epoch_fn
+
+    def train_epoch_raw(self, key, images_ref, kp_projs_ref, index_matrix):
+        """Run one epoch (``index_matrix`` is ``[n_steps, batch]`` positions
+        into the device-resident ``images_ref``/``kp_projs_ref``) in a single
+        device dispatch; returns the per-step loss vector (on device)."""
+        assert hasattr(self, "_scanned_epoch"), (
+            "Call enable_scanned_training(batch_processor) first."
+        )
+        self.variables, self.opt_state, losses = self._scanned_epoch(
+            self.variables, self.opt_state, key, images_ref, kp_projs_ref,
+            jnp.asarray(index_matrix, dtype=jnp.int32),
+        )
+        return losses
 
     def train_raw(self, key, raw_images, kp_projs_raw):
         """One fused optimization step directly from raw uint8 frames."""

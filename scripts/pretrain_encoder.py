@@ -87,25 +87,86 @@ def pretrain_encoder(args):
         return params, opt_state, loss
 
     key = jax.random.PRNGKey(args.seed + 1)
-    pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
-    future = pool.submit(render_batch, args.seed)
     losses = []
     t0 = time.time()
-    for i in range(args.steps):
-        clean = future.result()
-        future = pool.submit(render_batch, args.seed + i + 1)
-        key, step_key = jax.random.split(key)
-        params, opt_state, loss = step(
-            params, opt_state, step_key, jnp.asarray(clean)
+    if args.pool:
+        # Device-resident scene pool: render ``--pool`` scenes ONCE, park them
+        # in HBM, and serve every step as a device-side gather.  On 1-vCPU
+        # hosts the per-step render path is host-bound (seconds/step); the
+        # on-device corruption pipeline (noise + jitter + channel dropout,
+        # fresh per step) keeps the pretext diverse over a fixed pool.
+        print(f"rendering {args.pool}-scene device pool ...", flush=True)
+        pool_u8 = jnp.asarray(
+            np.stack([
+                render_random_scene(np.random.RandomState(args.seed + i), res)[0]
+                for i in range(args.pool)
+            ])
         )
-        losses.append(loss)
-        if (i + 1) % args.log_every == 0:
-            recent = [float(x) for x in jax.device_get(losses[-args.log_every:])]
-            print(
-                f"step {i + 1}/{args.steps}  recon mse {np.mean(recent):.5f}  "
-                f"({(i + 1) * args.batch_size / (time.time() - t0):.1f} imgs/s)"
+        print(f"pool resident ({pool_u8.nbytes / 1e6:.0f} MB)", flush=True)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def gather_step(params, opt_state, key, pool_ref):
+            k_idx, k_step = jax.random.split(key)
+            idx = jax.random.randint(
+                k_idx, (args.batch_size,), 0, pool_ref.shape[0]
             )
-    pool.shutdown(wait=False)
+            clean_u8 = jnp.take(pool_ref, idx, axis=0)
+            clean = clean_u8.astype(jnp.float32) / 127.5 - 1.0
+            k1, k2, k3, k4 = jax.random.split(k_step, 4)
+            noisy = clean + jax.random.normal(k1, clean.shape) * args.noise_sigma
+            b = jax.random.uniform(
+                k2, (clean.shape[0], 1, 1, 1), minval=-0.2, maxval=0.2
+            )
+            c = jax.random.uniform(
+                k3, (clean.shape[0], 1, 1, 1), minval=0.8, maxval=1.2
+            )
+            noisy = noisy * c + b
+            drop = jax.random.bernoulli(k4, 0.1, (clean.shape[0], 1, 1, 3))
+            noisy = jnp.where(drop, 0.0, noisy)
+            B, H, W, C = clean.shape
+            target = clean.reshape(B, H // 4, 4, W // 4, 4, C).mean(axis=(2, 4))
+
+            def loss_fn(p):
+                pred = model.apply({"params": p}, noisy)
+                return jnp.mean((pred - target) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        for i in range(args.steps):
+            key, step_key = jax.random.split(key)
+            params, opt_state, loss = gather_step(
+                params, opt_state, step_key, pool_u8
+            )
+            losses.append(loss)
+            if (i + 1) % args.log_every == 0:
+                recent = [float(x) for x in jax.device_get(losses[-args.log_every:])]
+                print(
+                    f"step {i + 1}/{args.steps}  recon mse {np.mean(recent):.5f}  "
+                    f"({(i + 1) * args.batch_size / (time.time() - t0):.1f} imgs/s)",
+                    flush=True,
+                )
+    else:
+        pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        future = pool.submit(render_batch, args.seed)
+        for i in range(args.steps):
+            clean = future.result()
+            future = pool.submit(render_batch, args.seed + i + 1)
+            key, step_key = jax.random.split(key)
+            params, opt_state, loss = step(
+                params, opt_state, step_key, jnp.asarray(clean)
+            )
+            losses.append(loss)
+            if (i + 1) % args.log_every == 0:
+                recent = [float(x) for x in jax.device_get(losses[-args.log_every:])]
+                print(
+                    f"step {i + 1}/{args.steps}  recon mse {np.mean(recent):.5f}  "
+                    f"({(i + 1) * args.batch_size / (time.time() - t0):.1f} imgs/s)",
+                    flush=True,
+                )
+        pool.shutdown(wait=False)
 
     encoder = extract_encoder_params({"params": jax.device_get(params)})
     os.makedirs(os.path.dirname(os.path.abspath(args.output)), exist_ok=True)
@@ -130,6 +191,12 @@ def make_parser():
     parser.add_argument("--noise-sigma", type=float, default=0.25)
     parser.add_argument("--bf16", action="store_true", default=True)
     parser.add_argument("--log-every", type=int, default=50)
+    parser.add_argument("--pool", type=int, default=0,
+                        help="If >0, pre-render this many scenes once and "
+                             "keep them resident in device memory; each step "
+                             "is then a device-side gather + fresh on-device "
+                             "corruption (use on slow hosts; 0 streams "
+                             "fresh scenes from the host every step).")
     parser.add_argument("-s", "--seed", type=int, default=0)
     return parser
 

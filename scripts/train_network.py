@@ -231,6 +231,14 @@ def train_network(args):
         architecture_config["image_preprocessing"] = training_image_preprocessing
     training_net_input_resolution = training_config_in["net_input_resolution"]
 
+    if args.loss_pos_weight is not None:
+        # Opt-in plateau-free training loss (see network._weighted_mse_loss);
+        # recorded in the sidecar config so resume/analysis see the same
+        # criterion.  Inference/metrics are unaffected by the loss choice.
+        architecture_config["loss"] = {
+            "type": "weighted_mse", "pos_weight": args.loss_pos_weight,
+        }
+
     try:
         user = os.getlogin()
     except Exception:
@@ -383,7 +391,19 @@ def train_network(args):
         augment=enable_augment_data, include_belief_maps=True,
     )
     # Fuse the processor into the train step: one device dispatch per batch.
-    dream_network.enable_fused_training(process_train)
+    # With the dataset HBM-resident on a single device, go further and scan
+    # the WHOLE epoch in one dispatch (relay/dispatch latency otherwise
+    # serializes between steps).
+    scan_epochs = (
+        args.cache_device
+        and process_count == 1
+        and args.mesh_data * args.mesh_model == 1
+    )
+    if scan_epochs:
+        dream_network.enable_scanned_training(process_train)
+        print("Scanned-epoch training: one device dispatch per epoch.")
+    else:
+        dream_network.enable_fused_training(process_train)
 
     # Place params/batches on the device mesh (DP over 'data', optional TP
     # channel sharding over 'model') when more than one device is requested.
@@ -418,25 +438,42 @@ def train_network(args):
         training_batch_losses = []
         training_batch_sample_names = []
         train_loader.set_epoch(e)
-        for batch_idx, host_batch in enumerate(train_loader):
+        if scan_epochs:
+            # Whole epoch in one device dispatch (lax.scan over shuffled
+            # gathers of the HBM-resident set).
+            index_matrix = train_loader.epoch_index_matrix(e)
             aug_key, step_key = jax.random.split(aug_key)
-            loss = dream_network.train_raw(
+            losses = dream_network.train_epoch_raw(
                 step_key,
-                jnp.asarray(host_batch["image_rgb_raw"]),
-                jnp.asarray(host_batch["keypoint_projections_raw"]),
+                train_loader.device_images,
+                train_loader.device_kp_projs,
+                index_matrix,
             )
-            # Keep the loss on device: a float() here would sync every step
-            # and stall the dispatch pipeline; fetch once per epoch below.
-            training_batch_losses.append(loss)
-            training_batch_sample_names.append(
-                dataset.sample_names(host_batch["indices"])
-            )
-            if args.verbose:
-                print(f"  batch {batch_idx}: loss {float(loss):.6f}")
+            training_batch_losses = [float(x) for x in jax.device_get(losses)]
+            training_batch_sample_names = [
+                dataset.sample_names(train_loader.indices[sel])
+                for sel in index_matrix
+            ]
+        else:
+            for batch_idx, host_batch in enumerate(train_loader):
+                aug_key, step_key = jax.random.split(aug_key)
+                loss = dream_network.train_raw(
+                    step_key,
+                    jnp.asarray(host_batch["image_rgb_raw"]),
+                    jnp.asarray(host_batch["keypoint_projections_raw"]),
+                )
+                # Keep the loss on device: a float() here would sync every
+                # step and stall the dispatch pipeline; fetch once per epoch.
+                training_batch_losses.append(loss)
+                training_batch_sample_names.append(
+                    dataset.sample_names(host_batch["indices"])
+                )
+                if args.verbose:
+                    print(f"  batch {batch_idx}: loss {float(loss):.6f}")
 
-        training_batch_losses = [
-            float(x) for x in jax.device_get(training_batch_losses)
-        ]
+            training_batch_losses = [
+                float(x) for x in jax.device_get(training_batch_losses)
+            ]
         mean_training_loss = float(np.mean(training_batch_losses))
         std_training_loss = float(np.std(training_batch_losses))
 
@@ -602,6 +639,12 @@ def make_parser():
                         help="Run the validation pass every N epochs (the "
                              "final epoch always validates). 1 == reference "
                              "parity.")
+    parser.add_argument("--loss-pos-weight", type=float, default=None,
+                        help="If set, train with the weighted-MSE criterion "
+                             "(pixel weight 1 + (W-1)*target): removes the "
+                             "all-zero belief-map plateau that plain MSE "
+                             "suffers from random init. Default: the "
+                             "architecture config's loss (reference parity).")
     parser.add_argument("--cache-device", action="store_true", default=False,
                         help="Decode the dataset once and keep it resident "
                              "in device memory; batches become device-side "
