@@ -271,6 +271,8 @@ def analyze_ndds_dataset(
     pnp_ransac: bool = False,
     pnp_weight_by_score: bool = False,
     pnp_reject_outliers_px: Optional[float] = None,
+    pnp_soft_detections: bool = False,
+    pnp_soft_min_score: float = 0.05,
 ):
     """Run inference over an NDDS dataset; write keypoints.csv,
     pnp_results.csv, analysis_results.txt, and sample mosaics.
@@ -279,11 +281,21 @@ def analyze_ndds_dataset(
 
     - ``pnp_ransac``: the reference's (disabled-by-default) RANSAC variant.
     - ``pnp_weight_by_score``: weight each correspondence by its belief-map
-      peak score in the least-squares solve.
+      peak score in the least-squares solve (normalized to max 1 and floored
+      at 0.3 — strongly unequal weights measurably distort the solve on
+      near-degenerate configurations).
     - ``pnp_reject_outliers_px``: after a first solve, drop correspondences
-      reprojecting worse than this many pixels and re-refine (when >=4
+      reprojecting worse than this many pixels and re-solve (when >=4
       survive) — counters one confidently-wrong detection dragging the pose.
+    - ``pnp_soft_detections``: feed PnP the best belief-map peak for EVERY
+      keypoint whose score clears ``pnp_soft_min_score``, even when the 0.25
+      score-gap disambiguation rejects it from the keypoint metrics — on
+      compact/ambiguous poses the canonical detections can drop below the
+      4-point PnP floor while the top peaks are still mostly right; weighting
+      plus outlier rejection absorbs the wrong ones.  Implies
+      ``pnp_weight_by_score``; PCK metrics are unaffected.
     """
+    need_scores = pnp_weight_by_score or pnp_soft_detections
     assert os.path.exists(network_params_path)
     assert os.path.exists(network_config_path)
     assert os.path.exists(dataset_dir)
@@ -349,6 +361,7 @@ def analyze_ndds_dataset(
     all_kp_projs_gt_raw: List[np.ndarray] = []
     all_gt_kp_positions: List[np.ndarray] = []
     all_peak_scores: List[np.ndarray] = []
+    all_soft_detected_raw: List[np.ndarray] = []
     sample_results = []
     sample_names_all: List[str] = []
     sample_idx = 0
@@ -360,11 +373,13 @@ def analyze_ndds_dataset(
             jnp.asarray(host_batch["image_rgb_raw"]),
             jnp.asarray(host_batch["keypoint_projections_raw"]),
         )
-        if pnp_weight_by_score:
-            _, detected_netout, peak_scores = dream_network.inference_detailed(
-                batch["image_rgb_input"]
+        if need_scores:
+            _, detected_netout, peak_scores, best_netout = (
+                dream_network.inference_detailed(batch["image_rgb_input"])
             )
             all_peak_scores.append(np.asarray(peak_scores))
+            if pnp_soft_detections:
+                all_soft_detected_raw.append(np.asarray(kp_to_raw(best_netout)))
         else:
             _, detected_netout = dream_network.inference(batch["image_rgb_input"])
         # Sentinel-preserving conversion netout -> raw (scales sentinels like
@@ -437,14 +452,37 @@ def analyze_ndds_dataset(
         # switches to the RANSAC variant (5 px inlier threshold) — present
         # but disabled by default in the reference too (its call is commented
         # out at dream/analysis.py:329).
-        if pnp_weight_by_score:
-            solve_weights = jnp.asarray(
-                np.clip(np.concatenate(all_peak_scores), 0.0, None), jnp.float32
-            )
+        if need_scores:
+            scores = np.clip(np.concatenate(all_peak_scores), 0.0, None)
+            if pnp_weight_by_score:
+                # Normalize per frame to max 1 and floor at 0.3: the weights
+                # express relative confidence without distorting the solve's
+                # conditioning (strongly unequal weights measurably degrade
+                # near-degenerate frames).
+                max_s = np.maximum(scores.max(axis=1, keepdims=True), 1e-9)
+                solve_weights_np = np.clip(scores / max_s, 0.3, 1.0)
+            else:
+                # Soft detections with BINARY weights: above-floor peaks
+                # participate equally and outlier rejection does the cleanup
+                # (continuous weights can flip the depth branch on
+                # near-degenerate frames).
+                solve_weights_np = np.ones_like(scores)
+            if pnp_soft_detections:
+                # Zero out peaks below the absolute score floor (no real
+                # peak in that belief map at all).
+                solve_weights_np = np.where(
+                    scores > pnp_soft_min_score, solve_weights_np, 0.0
+                )
+            solve_weights = jnp.asarray(solve_weights_np, jnp.float32)
         else:
             solve_weights = jnp.ones(
                 (n_samples, dream_network.n_keypoints), jnp.float32
             )
+
+        if pnp_soft_detections:
+            pnp_input_raw = np.concatenate(all_soft_detected_raw)
+        else:
+            pnp_input_raw = all_kp_projs_detected_raw
 
         if pnp_ransac:
             def _solve_one(X, uv, wts, key):
@@ -460,7 +498,7 @@ def analyze_ndds_dataset(
             solve = jax.jit(jax.vmap(_solve_one))
             results = solve(
                 jnp.asarray(all_gt_kp_positions, jnp.float32),
-                jnp.asarray(all_kp_projs_detected_raw, jnp.float32),
+                jnp.asarray(pnp_input_raw, jnp.float32),
                 solve_weights,
                 keys,
             )
@@ -476,7 +514,7 @@ def analyze_ndds_dataset(
             )
             results = solve(
                 jnp.asarray(all_gt_kp_positions, jnp.float32),
-                jnp.asarray(all_kp_projs_detected_raw, jnp.float32),
+                jnp.asarray(pnp_input_raw, jnp.float32),
                 solve_weights,
             )
         valid = np.asarray(results.valid)
@@ -487,9 +525,14 @@ def analyze_ndds_dataset(
         # kp_pos_gt_pnp (the >-999 rows fed to PnP) to add_from_pose
         # (dream/analysis.py:322-339), not all GT keypoints.
         detect_mask = ~(
-            (all_kp_projs_detected_raw[:, :, 0] < -999.0)
-            & (all_kp_projs_detected_raw[:, :, 1] < -999.0)
+            (pnp_input_raw[:, :, 0] < -999.0)
+            & (pnp_input_raw[:, :, 1] < -999.0)
         )
+        if pnp_soft_detections:
+            # The soft path feeds every above-floor peak to PnP; the ADD
+            # accounting follows what PnP actually used (reference
+            # kp_pos_gt_pnp semantics, dream/analysis.py:322-339).
+            detect_mask = detect_mask & (np.asarray(solve_weights) > 0.0)
         adds = np.asarray(
             jax.vmap(gv.add_from_pose)(
                 results.translation, results.quaternion,

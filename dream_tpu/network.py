@@ -348,10 +348,29 @@ class DreamNetwork:
             )
             assert "learning_rate" in tcfg["optimizer"]
             lr = tcfg["optimizer"]["learning_rate"]
+            # Optional schedule + gradient clipping (TPU-native training
+            # extensions; the reference uses a flat-LR bare Adam,
+            # reference scripts/train_network.py:441-447).  Config-driven so
+            # resume reconstructs the exact same optimizer.
+            schedule_cfg = tcfg["optimizer"].get("schedule")
+            if schedule_cfg:
+                assert schedule_cfg["type"] == "cosine", schedule_cfg
+                lr = optax.warmup_cosine_decay_schedule(
+                    init_value=0.0,
+                    peak_value=tcfg["optimizer"]["learning_rate"],
+                    warmup_steps=int(schedule_cfg.get("warmup_steps", 0)),
+                    decay_steps=int(schedule_cfg["decay_steps"]),
+                    end_value=float(schedule_cfg.get("end_value", 0.0)),
+                )
             if optimizer_type == "adam":
                 self.optimizer = optax.adam(lr)
             else:
                 self.optimizer = optax.sgd(lr)
+            clip_norm = tcfg["optimizer"].get("grad_clip_norm")
+            if clip_norm:
+                self.optimizer = optax.chain(
+                    optax.clip_by_global_norm(float(clip_norm)), self.optimizer
+                )
 
         self.init_variables()
         if self.opt_state is None:
@@ -643,7 +662,9 @@ class DreamNetwork:
             @jax.jit
             def run(variables, net_input):
                 belief, keypoints = self._inference_fn(variables, net_input)
-                return belief, keypoints, jnp.ones(keypoints.shape[:-1])
+                return (
+                    belief, keypoints, jnp.ones(keypoints.shape[:-1]), keypoints
+                )
 
             return run
 
@@ -657,16 +678,21 @@ class DreamNetwork:
                 use_belief_peak_scores=use_scores,
                 belief_peak_next_best_score=gap,
             )
-            return belief, keypoints, peaks["scores"][..., 0]
+            return (
+                belief, keypoints, peaks["scores"][..., 0],
+                peaks["coords"][..., 0, :],
+            )
 
         return run
 
     def inference_detailed(self, network_input):
-        """``inference`` plus per-keypoint best-peak scores ``[B, n_kp]``.
+        """``inference`` plus per-keypoint best-peak scores ``[B, n_kp]`` and
+        the unconditional best-peak coords ``[B, n_kp, 2]`` (the top peak even
+        when the 0.25 score-gap disambiguation rejects it to a sentinel).
 
-        The scores feed confidence-weighted PnP (dream_tpu extension; the
-        reference discards them after its 0.25 score-gap disambiguation,
-        dream/network.py:546-577).
+        The scores feed confidence-weighted PnP and the soft coords feed
+        soft-detection PnP (dream_tpu extensions; the reference discards both
+        after its disambiguation, dream/network.py:546-577).
         """
         self.init_variables()
         return self._inference_detailed_fn(self.variables, network_input)

@@ -256,65 +256,14 @@ def _gauss_newton_pose(R0, t0, X, uv_norm, w, iters: int = 20, damping: float = 
     return rotation_matrix_from_axis_angle(params[:3]), params[3:]
 
 
-def solve_pnp(
-    canonical_points,
-    projections,
-    camera_K,
-    weights: Optional[jnp.ndarray] = None,
-    refinement: bool = True,
-    gn_iters: int = 20,
-    multi_start: bool = True,
-    reject_outliers_px: Optional[float] = None,
-) -> PnPResult:
-    """EPnP + Gauss-Newton pose recovery, fully on device.
+def _solve_core(Xs, uv_norm, w, refinement: bool, gn_iters: int, multi_start: bool):
+    """EPnP candidates + (multi-start) Gauss-Newton; returns (R, t).
 
-    Args:
-      canonical_points: ``[N, 3]`` 3D points (robot-frame keypoints).
-      projections: ``[N, 2]`` detected pixel coords (sentinel/NaN entries are
-        auto-invalidated).
-      camera_K: ``[3, 3]`` intrinsics.
-      weights: optional ``[N]`` validity/confidence weights; defaults to
-        auto-detection of NaN / <=-999 sentinel entries (the reference's
-        None-filtering, dream/geometric_vision.py:57-79, plus the
-        analysis-time sentinel filtering at dream/analysis.py:321-324).
-        Binary 0/1 masks validity; continuous values (e.g. belief-map peak
-        scores) softly weight the least-squares residuals — a TPU-native
-        extension over the reference's unweighted cv2 solve.
-      refinement: run the iterative refinement pass (the reference's second
-        cv2.solvePnP call, dream/geometric_vision.py:94-104).
-      reject_outliers_px: if set, run a second pass that drops
-        correspondences whose pixel reprojection error under the first
-        solution exceeds this threshold (when >=4 survive) and re-refines —
-        a deterministic robustifier against one confidently-wrong detection
-        dragging the pose (no reference analog; RANSAC is the reference's
-        only outlier story, dream/geometric_vision.py:116-180).
-
-    Returns:
-      PnPResult; ``valid`` is False when fewer than 4 usable correspondences
-      exist (cv2's minimum for EPnP => the reference's except-branch).
+    Factored out of solve_pnp so outlier rejection can re-run the FULL
+    pipeline on a reduced weight set: re-refining with GN alone from a pose
+    that a gross outlier dragged into the wrong basin stays in the wrong
+    basin (measured ~10x ADD difference on near-degenerate frames).
     """
-    X = jnp.asarray(canonical_points, dtype=jnp.float32)
-    uv = jnp.asarray(projections, dtype=jnp.float32)
-    K = jnp.asarray(camera_K, dtype=jnp.float32)
-
-    auto_valid = (
-        jnp.all(jnp.isfinite(X), axis=1)
-        & jnp.all(jnp.isfinite(uv), axis=1)
-        & jnp.all(uv > -999.0, axis=1)
-    )
-    w = auto_valid.astype(jnp.float32)
-    if weights is not None:
-        w = w * jnp.asarray(weights, dtype=jnp.float32)
-    # Count usable correspondences (weights may be continuous confidences).
-    n_valid = jnp.sum(w > 0)
-
-    # Work in normalized camera coordinates for conditioning.
-    fx, fy = K[0, 0], K[1, 1]
-    cx, cy = K[0, 2], K[1, 2]
-    uv_norm = jnp.stack([(uv[:, 0] - cx) / fx, (uv[:, 1] - cy) / fy], axis=-1)
-    uv_norm = jnp.where(w[:, None] > 0, uv_norm, 0.0)
-    Xs = jnp.where(w[:, None] > 0, X, 0.0)
-
     C = _control_points(Xs, w)
     alphas = _barycentric(Xs, C)
     MtM = _build_MtM(alphas, uv_norm, w)
@@ -398,44 +347,118 @@ def solve_pnp(
         R, t = Rs_all[best], ts_all[best]
     else:
         R, t = R0, t0
+    return R, t
 
-    valid_mask = (w > 0).astype(jnp.float32)
 
-    def _px_errors(R_, t_):
-        # Unweighted per-point pixel reprojection error, masked to validity.
-        res_ = _reproj_residuals(R_, t_, Xs, uv_norm, valid_mask)
-        return jnp.sqrt(jnp.sum((res_ * jnp.array([fx, fy])) ** 2, axis=1))
+def solve_pnp(
+    canonical_points,
+    projections,
+    camera_K,
+    weights: Optional[jnp.ndarray] = None,
+    refinement: bool = True,
+    gn_iters: int = 20,
+    multi_start: bool = True,
+    reject_outliers_px: Optional[float] = None,
+) -> PnPResult:
+    """EPnP + Gauss-Newton pose recovery, fully on device.
 
-    if reject_outliers_px is not None:
-        # Deterministic robustifier: iteratively drop the WORST-reprojecting
-        # point and re-refine, while the worst error exceeds the threshold
-        # and >4 points remain.  A single thresholding pass is not enough —
-        # one gross outlier drags the least-squares fit so every residual
-        # exceeds the threshold; peeling the worst point converges.  Fixed
-        # trip count (3) keeps it jittable; with <=3 rejections and the
-        # >=4-point floor this covers the reference's 7-17-keypoint robots.
-        w_cur = w
-        R_cur, t_cur = R, t
-        for _ in range(3):
-            err_i = _px_errors(R_cur, t_cur)
-            masked_err = jnp.where(w_cur > 0, err_i, -jnp.inf)
-            worst = jnp.argmax(masked_err)
-            do_drop = (masked_err[worst] > reject_outliers_px) & (
-                jnp.sum(w_cur > 0) > 4
-            )
-            w_new = jnp.where(
-                do_drop, w_cur * (1.0 - jax.nn.one_hot(worst, w.shape[0])), w_cur
-            )
-            R2, t2 = _gauss_newton_pose(
-                R_cur, t_cur, Xs, uv_norm, w_new, iters=gn_iters
-            )
-            R_cur = jnp.where(do_drop, R2, R_cur)
-            t_cur = jnp.where(do_drop, t2, t_cur)
-            w_cur = w_new
-        R, t = R_cur, t_cur
+    Args:
+      canonical_points: ``[N, 3]`` 3D points (robot-frame keypoints).
+      projections: ``[N, 2]`` detected pixel coords (sentinel/NaN entries are
+        auto-invalidated).
+      camera_K: ``[3, 3]`` intrinsics.
+      weights: optional ``[N]`` validity/confidence weights; defaults to
+        auto-detection of NaN / <=-999 sentinel entries (the reference's
+        None-filtering, dream/geometric_vision.py:57-79, plus the
+        analysis-time sentinel filtering at dream/analysis.py:321-324).
+        Binary 0/1 masks validity; continuous values (e.g. belief-map peak
+        scores) softly weight the least-squares residuals — a TPU-native
+        extension over the reference's unweighted cv2 solve.
+      refinement: run the iterative refinement pass (the reference's second
+        cv2.solvePnP call, dream/geometric_vision.py:94-104).
+      reject_outliers_px: if set, run a second pass that drops
+        correspondences whose pixel reprojection error under the first
+        solution exceeds this threshold (when >=4 survive) and re-refines —
+        a deterministic robustifier against one confidently-wrong detection
+        dragging the pose (no reference analog; RANSAC is the reference's
+        only outlier story, dream/geometric_vision.py:116-180).
 
-    err = _px_errors(R, t)
-    mean_err = jnp.sum(err * valid_mask) / (jnp.sum(valid_mask) + _EPS)
+    Returns:
+      PnPResult; ``valid`` is False when fewer than 4 usable correspondences
+      exist (cv2's minimum for EPnP => the reference's except-branch).
+    """
+    X = jnp.asarray(canonical_points, dtype=jnp.float32)
+    uv = jnp.asarray(projections, dtype=jnp.float32)
+    K = jnp.asarray(camera_K, dtype=jnp.float32)
+
+    auto_valid = (
+        jnp.all(jnp.isfinite(X), axis=1)
+        & jnp.all(jnp.isfinite(uv), axis=1)
+        & jnp.all(uv > -999.0, axis=1)
+    )
+    w = auto_valid.astype(jnp.float32)
+    if weights is not None:
+        w = w * jnp.asarray(weights, dtype=jnp.float32)
+    # Count usable correspondences (weights may be continuous confidences).
+    n_valid = jnp.sum(w > 0)
+
+    # Work in normalized camera coordinates for conditioning.
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    uv_norm = jnp.stack([(uv[:, 0] - cx) / fx, (uv[:, 1] - cy) / fy], axis=-1)
+    uv_norm = jnp.where(w[:, None] > 0, uv_norm, 0.0)
+    Xs = jnp.where(w[:, None] > 0, X, 0.0)
+
+    # Full float32 matmul precision throughout: TPUs default f32 matmuls to
+    # bfloat16 mantissas, which wrecks the conditioning of the EPnP normal
+    # matrix / GN steps on near-degenerate (small-span, near-planar)
+    # configurations — measured ~20x ADD blowup on such frames without this.
+    with jax.default_matmul_precision("highest"):
+        R, t = _solve_core(Xs, uv_norm, w, refinement, gn_iters, multi_start)
+
+        valid_mask = (w > 0).astype(jnp.float32)
+
+        def _px_errors(R_, t_):
+            # Unweighted per-point pixel reprojection error, masked to
+            # validity.
+            res_ = _reproj_residuals(R_, t_, Xs, uv_norm, valid_mask)
+            return jnp.sqrt(jnp.sum((res_ * jnp.array([fx, fy])) ** 2, axis=1))
+
+        if reject_outliers_px is not None:
+            # Deterministic robustifier: iteratively drop the WORST-
+            # reprojecting point and RE-SOLVE FROM SCRATCH, while the worst
+            # error exceeds the threshold and >4 points remain.  A single
+            # thresholding pass is not enough — one gross outlier drags the
+            # least-squares fit so every residual exceeds the threshold; and
+            # a GN-only re-refine from the dragged pose stays in its basin
+            # (the full EPnP+multi-start re-solve is ~10x better on such
+            # frames).  Fixed trip count (3) keeps it jittable; with <=3
+            # rejections and the >=4-point floor this covers the reference's
+            # 7-17-keypoint robots.
+            w_cur = w
+            R_cur, t_cur = R, t
+            for _ in range(3):
+                err_i = _px_errors(R_cur, t_cur)
+                masked_err = jnp.where(w_cur > 0, err_i, -jnp.inf)
+                worst = jnp.argmax(masked_err)
+                do_drop = (masked_err[worst] > reject_outliers_px) & (
+                    jnp.sum(w_cur > 0) > 4
+                )
+                w_new = jnp.where(
+                    do_drop,
+                    w_cur * (1.0 - jax.nn.one_hot(worst, w.shape[0])),
+                    w_cur,
+                )
+                R2, t2 = _solve_core(
+                    Xs, uv_norm, w_new, refinement, gn_iters, multi_start
+                )
+                R_cur = jnp.where(do_drop, R2, R_cur)
+                t_cur = jnp.where(do_drop, t2, t_cur)
+                w_cur = jnp.where(do_drop, w_new, w_cur)
+            R, t = R_cur, t_cur
+
+        err = _px_errors(R, t)
+        mean_err = jnp.sum(err * valid_mask) / (jnp.sum(valid_mask) + _EPS)
 
     valid = (n_valid >= 4) & jnp.all(jnp.isfinite(t)) & jnp.isfinite(mean_err)
     quat = quaternion_from_rotation_matrix(R)

@@ -36,6 +36,7 @@ def network_inference_dataset(args):
         pnp_ransac=args.ransac,
         pnp_weight_by_score=args.pnp_weight_by_score,
         pnp_reject_outliers_px=args.pnp_reject_outliers_px,
+        pnp_soft_detections=args.pnp_soft_detections,
     )
 
 
@@ -64,6 +65,14 @@ if __name__ == "__main__":
                         default=False,
                         help="Weight PnP correspondences by belief-map peak "
                              "score (dream_tpu extension).")
+    parser.add_argument("--pnp-soft-detections", action="store_true",
+                        default=False,
+                        help="Feed PnP the best belief-map peak for every "
+                             "keypoint (score-weighted), even those the "
+                             "score-gap disambiguation rejects from the "
+                             "keypoint metrics; recovers poses on compact/"
+                             "ambiguous frames that otherwise fall below "
+                             "the 4-point PnP floor.")
     parser.add_argument("--pnp-reject-outliers-px", type=float, default=None,
                         help="Drop correspondences reprojecting worse than "
                              "this many px after a first solve, then "

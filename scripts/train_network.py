@@ -262,6 +262,22 @@ def train_network(args):
                 "optimizer": {
                     "type": args.optimizer,
                     "learning_rate": args.learning_rate,
+                    **(
+                        {"grad_clip_norm": args.grad_clip_norm}
+                        if args.grad_clip_norm
+                        else {}
+                    ),
+                    **(
+                        {
+                            "schedule": {
+                                "type": "cosine",
+                                "decay_steps": args.lr_decay_steps,
+                                "warmup_steps": args.lr_warmup_steps,
+                            }
+                        }
+                        if args.lr_decay_steps
+                        else {}
+                    ),
                 },
                 "image_preprocessing": training_image_preprocessing,
                 "image_raw_resolution": list(image_raw_resolution),
@@ -639,6 +655,15 @@ def make_parser():
                         help="Run the validation pass every N epochs (the "
                              "final epoch always validates). 1 == reference "
                              "parity.")
+    parser.add_argument("--grad-clip-norm", type=float, default=None,
+                        help="Global-norm gradient clipping (guards against "
+                             "the loss spikes bare Adam exhibits on this "
+                             "objective). Default: off (reference parity).")
+    parser.add_argument("--lr-decay-steps", type=int, default=None,
+                        help="If set, cosine-decay the learning rate to ~0 "
+                             "over this many steps (with --lr-warmup-steps "
+                             "linear warmup). Default: flat LR.")
+    parser.add_argument("--lr-warmup-steps", type=int, default=0)
     parser.add_argument("--loss-pos-weight", type=float, default=None,
                         help="If set, train with the weighted-MSE criterion "
                              "(pixel weight 1 + (W-1)*target): removes the "
