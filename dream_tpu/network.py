@@ -698,11 +698,15 @@ class DreamNetwork:
         return self._inference_detailed_fn(self.variables, network_input)
 
     def keypoints_from_image(
-        self, input_rgb_image, image_preprocessing_override=None, debug=False
+        self, input_rgb_image, image_preprocessing_override=None, debug=False,
+        detailed=False,
     ):
         """Full single-image pipeline, PIL in -> raw-frame keypoints out.
 
-        Parity: reference dream/network.py:423-499.
+        Parity: reference dream/network.py:423-499.  ``detailed`` additionally
+        returns per-keypoint best-peak scores and the unconditional best-peak
+        coords in the raw frame (``peak_scores`` / ``best_peak_keypoints``) —
+        the inputs to confidence-weighted / soft-detection PnP.
         """
         import PIL.Image as PILImage
 
@@ -730,7 +734,12 @@ class DreamNetwork:
             self.image_normalization,
         )
 
-        belief_maps_batch, kp_netout_batch = self.inference(net_input)
+        if detailed:
+            belief_maps_batch, kp_netout_batch, peak_scores, best_netout = (
+                self.inference_detailed(net_input)
+            )
+        else:
+            belief_maps_batch, kp_netout_batch = self.inference(net_input)
         detected_kp_projs_net_out = np.asarray(kp_netout_batch[0], dtype=float)
         belief_maps = belief_maps_batch[0]
 
@@ -743,6 +752,15 @@ class DreamNetwork:
         )
 
         detection_result = {"detected_keypoints": np.asarray(detected_kp_projs)}
+        if detailed:
+            best_netin = coord_ops.convert_keypoints_to_netin_from_netout(
+                np.asarray(best_netout[0], dtype=float), netout_res_inf, netin_res
+            )
+            best_raw = coord_ops.convert_keypoints_to_raw_from_netin(
+                best_netin, netin_res, input_resolution, image_preprocessing
+            )
+            detection_result["peak_scores"] = np.asarray(peak_scores[0])
+            detection_result["best_peak_keypoints"] = np.asarray(best_raw)
         if debug:
             detection_result["image_rgb_net_input"] = net_input[0]
             detection_result["belief_maps"] = belief_maps

@@ -51,6 +51,9 @@ class DreamInferenceServer:
         single_frame_mode: bool = True,
         verbose: bool = False,
         max_reproj_err_px: Optional[float] = None,
+        pnp_reject_outliers_px: Optional[float] = None,
+        pnp_soft_detections: bool = False,
+        pnp_soft_min_score: float = 0.05,
     ):
         self.network = dream_network
         self.network.enable_evaluation()
@@ -64,6 +67,16 @@ class DreamInferenceServer:
         # produce geometrically-consistent garbage poses; gating on
         # reprojection error filters them.  None disables (reference parity).
         self.max_reproj_err_px = max_reproj_err_px
+        # Robust-PnP extensions, same semantics as the offline analysis
+        # options (dream_tpu/analysis.py analyze_ndds_dataset):
+        # - reject_outliers_px: after a first solve, drop correspondences
+        #   reprojecting worse than this and fully re-solve.
+        # - soft detections: feed PnP the best belief-map peak for every
+        #   keypoint above the score floor, even those the score-gap
+        #   disambiguation rejects from the published detections.
+        self.pnp_reject_outliers_px = pnp_reject_outliers_px
+        self.pnp_soft_detections = pnp_soft_detections
+        self.pnp_soft_min_score = pnp_soft_min_score
 
         self.camera_K: Optional[np.ndarray] = None
         self.keypoint_positions: Optional[np.ndarray] = None  # FK-provided [n_kp, 3]
@@ -121,7 +134,9 @@ class DreamInferenceServer:
         ``image``: PIL image or HxWx3 uint8 array.  Returns a status dict.
         Parity: the reference's rate-loop body (reference :694-719).
         """
-        detection = self.network.keypoints_from_image(image, debug=True)
+        detection = self.network.keypoints_from_image(
+            image, debug=True, detailed=self.pnp_soft_detections
+        )
         detected = detection["detected_keypoints"]
 
         with self._lock:
@@ -145,9 +160,15 @@ class DreamInferenceServer:
         if keypoint_positions is None or camera_K is None or not capture:
             return status
 
-        # Keep in-frame detections (reference :409-427).
-        good = (detected[:, 0] > -999.0) & (detected[:, 1] > -999.0)
-        kp_projs = detected[good]
+        # Keep in-frame detections (reference :409-427).  In soft mode the
+        # correspondence set is instead every unconditional best peak above
+        # the score floor (published detections are unaffected).
+        if self.pnp_soft_detections:
+            good = detection["peak_scores"] > self.pnp_soft_min_score
+            kp_projs = detection["best_peak_keypoints"][good]
+        else:
+            good = (detected[:, 0] > -999.0) & (detected[:, 1] > -999.0)
+            kp_projs = detected[good]
         kp_pos = keypoint_positions[good]
 
         status["pnp"] = self._solve_pnp_buffer(kp_projs, kp_pos, camera_K)
@@ -176,6 +197,7 @@ class DreamInferenceServer:
             jnp.asarray(positions, jnp.float32),
             jnp.asarray(projs, jnp.float32),
             jnp.asarray(camera_K, jnp.float32),
+            reject_outliers_px=self.pnp_reject_outliers_px,
         )
         gated = (
             self.max_reproj_err_px is not None

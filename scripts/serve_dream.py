@@ -44,6 +44,18 @@ def main():
                         help="Reject PnP solutions whose mean reprojection "
                              "error exceeds this many pixels (off by default, "
                              "matching the reference).")
+    parser.add_argument("--pnp-reject-outliers-px", type=float, default=None,
+                        help="Drop correspondences reprojecting worse than "
+                             "this many px after a first solve, then fully "
+                             "re-solve (robust-PnP extension; same semantics "
+                             "as network_inference_dataset.py).")
+    parser.add_argument("--pnp-soft-detections", action="store_true",
+                        default=False,
+                        help="Feed PnP the best belief-map peak for every "
+                             "keypoint above the score floor, even those the "
+                             "score-gap disambiguation rejects (published "
+                             "keypoint detections are unaffected).")
+    parser.add_argument("--pnp-soft-min-score", type=float, default=0.05)
     parser.add_argument("-v", "--verbose", action="store_true", default=False)
     args = parser.parse_args()
 
@@ -58,6 +70,9 @@ def main():
         single_frame_mode=not args.multi_frame,
         verbose=args.verbose,
         max_reproj_err_px=args.max_reproj_err_px,
+        pnp_reject_outliers_px=args.pnp_reject_outliers_px,
+        pnp_soft_detections=args.pnp_soft_detections,
+        pnp_soft_min_score=args.pnp_soft_min_score,
     )
     httpd = make_http_server(server, args.host, args.port)
     print(f"dream_tpu serving on {args.host}:{args.port} "

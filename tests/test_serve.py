@@ -25,12 +25,25 @@ class _OracleNetwork(DreamNetwork):
     """DreamNetwork whose keypoints_from_image returns planted GT projections
     (isolates serve-layer logic from model quality)."""
 
-    def __init__(self, planted_projs, **kwargs):
+    def __init__(self, planted_projs, planted_best_peaks=None,
+                 planted_scores=None, **kwargs):
         super().__init__(_vgg_config(), **kwargs)
         self._planted = np.asarray(planted_projs, dtype=float)
+        self._best_peaks = (
+            self._planted if planted_best_peaks is None
+            else np.asarray(planted_best_peaks, dtype=float)
+        )
+        self._scores = (
+            np.ones(len(self._planted)) if planted_scores is None
+            else np.asarray(planted_scores, dtype=float)
+        )
 
-    def keypoints_from_image(self, image, image_preprocessing_override=None, debug=False):
+    def keypoints_from_image(self, image, image_preprocessing_override=None,
+                             debug=False, detailed=False):
         result = {"detected_keypoints": self._planted.copy()}
+        if detailed:
+            result["peak_scores"] = self._scores.copy()
+            result["best_peak_keypoints"] = self._best_peaks.copy()
         if debug:
             result["image_rgb_net_input"] = np.zeros((64, 64, 3), np.float32)
             result["belief_maps"] = np.zeros((4, 16, 16), np.float32)
@@ -233,3 +246,71 @@ def test_serve_reproj_error_gate():
     clean.on_keypoint_positions(X)
     assert clean.process_image(image)["pnp"] is True
     assert clean.get_pose()["ok"] is True
+
+
+def test_serve_soft_detections_recover_below_floor_frames():
+    """pnp_soft_detections solves frames whose canonical detections fall
+    below the 4-point PnP floor, using the unconditional best peaks."""
+    K, X, uv, t_gt = _make_scene()
+    uv_partial = uv.copy()
+    uv_partial[0] = [-999.999, -999.999]  # disambiguation rejected this kp
+    image = np.zeros((240, 320, 3), np.uint8)
+
+    # Canonical mode: 3 < 4 detections -> no pose.
+    canonical = DreamInferenceServer(
+        _OracleNetwork(uv_partial), base_frame="base", single_frame_mode=True
+    )
+    canonical.on_camera_info(K[0, 0], K[1, 1], K[0, 2], K[1, 2])
+    canonical.on_keypoint_positions(X)
+    assert canonical.process_image(image)["pnp"] is False
+
+    # Soft mode: the best peak for the rejected keypoint is still right
+    # (score 0.5 > floor) -> pose recovered.
+    soft = DreamInferenceServer(
+        _OracleNetwork(uv_partial, planted_best_peaks=uv,
+                       planted_scores=[0.5, 0.9, 0.9, 0.9]),
+        base_frame="base", single_frame_mode=True, pnp_soft_detections=True,
+    )
+    soft.on_camera_info(K[0, 0], K[1, 1], K[0, 2], K[1, 2])
+    soft.on_keypoint_positions(X)
+    assert soft.process_image(image)["pnp"] is True
+    np.testing.assert_allclose(
+        soft.get_pose()["camera_from_robot"]["translation"], t_gt, atol=1e-3
+    )
+
+    # Below-floor peaks stay excluded: score 0.01 -> back under the floor.
+    floor = DreamInferenceServer(
+        _OracleNetwork(uv_partial, planted_best_peaks=uv,
+                       planted_scores=[0.01, 0.9, 0.9, 0.9]),
+        base_frame="base", single_frame_mode=True, pnp_soft_detections=True,
+    )
+    floor.on_camera_info(K[0, 0], K[1, 1], K[0, 2], K[1, 2])
+    floor.on_keypoint_positions(X)
+    assert floor.process_image(image)["pnp"] is False
+
+
+def test_serve_outlier_rejection():
+    """pnp_reject_outliers_px recovers the pose when one of five
+    correspondences is confidently wrong."""
+    rng = np.random.RandomState(1)
+    K = np.array([[300.0, 0, 160.0], [0, 300.0, 120.0], [0, 0, 1.0]])
+    X = rng.uniform(-0.3, 0.3, (5, 3))
+    t_gt = np.array([0.0, 0.0, 1.5])
+    uv = ((X + t_gt) @ K.T)
+    uv = uv[:, :2] / uv[:, 2:]
+    uv_bad = uv.copy()
+    uv_bad[2] += [55.0, -40.0]
+    image = np.zeros((240, 320, 3), np.uint8)
+
+    robust = _OracleNetwork(uv_bad)
+    robust.n_keypoints = 5
+    server = DreamInferenceServer(
+        robust, base_frame="base", single_frame_mode=True,
+        pnp_reject_outliers_px=5.0,
+    )
+    server.on_camera_info(K[0, 0], K[1, 1], K[0, 2], K[1, 2])
+    server.on_keypoint_positions(X)
+    assert server.process_image(image)["pnp"] is True
+    np.testing.assert_allclose(
+        server.get_pose()["camera_from_robot"]["translation"], t_gt, atol=5e-3
+    )
