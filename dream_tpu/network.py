@@ -331,7 +331,12 @@ class DreamNetwork:
         ], "Not yet implemented."  # reference dream/network.py:361-362
         outputs, new_batch_stats = self.apply_model(variables, net_input, train=train)
         target = jnp.moveaxis(target_belief_maps, 1, -1)  # -> NHWC
-        stacked = jnp.stack(outputs)  # [n_stages, B, h, w, n_kp]
+        # Accumulate the criterion in float32 regardless of the compute dtype:
+        # with ``compute_dtype: bfloat16`` the conv stack runs on the MXU in
+        # bf16 (params stay float32) but a bf16 squared-error reduction over
+        # ~10^5 mostly-tiny pixels loses the signal entirely.
+        stacked = jnp.stack(outputs).astype(jnp.float32)  # [n_stages, B, h, w, n_kp]
+        target = target.astype(jnp.float32)
         loss = self.criterion(stacked, jnp.broadcast_to(target, stacked.shape))
         return loss, new_batch_stats
 

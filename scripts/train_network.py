@@ -239,6 +239,13 @@ def train_network(args):
             "type": "weighted_mse", "pos_weight": args.loss_pos_weight,
         }
 
+    if args.compute_dtype:
+        # Mixed-precision training: conv compute on the MXU in bf16, params /
+        # optimizer state / loss accumulation in float32 (network.loss_fn
+        # casts).  Recorded in the sidecar so resume and later inference use
+        # the same policy.
+        architecture_config["compute_dtype"] = args.compute_dtype
+
     try:
         user = os.getlogin()
     except Exception:
@@ -664,6 +671,13 @@ def make_parser():
                              "over this many steps (with --lr-warmup-steps "
                              "linear warmup). Default: flat LR.")
     parser.add_argument("--lr-warmup-steps", type=int, default=0)
+    parser.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
+                        default=None,
+                        help="Model compute dtype. bfloat16 runs the conv "
+                             "stack on the MXU at ~2x f32 throughput (params, "
+                             "optimizer state and the loss stay float32). "
+                             "Default: the architecture config's value "
+                             "(float32 if unset).")
     parser.add_argument("--loss-pos-weight", type=float, default=None,
                         help="If set, train with the weighted-MSE criterion "
                              "(pixel weight 1 + (W-1)*target): removes the "

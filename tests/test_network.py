@@ -343,3 +343,40 @@ def test_scanned_epoch_training():
     for e in range(1, 4):
         losses = net.train_epoch_raw(jax.random.PRNGKey(e), images, kps, idx)
     assert float(np.mean(jax.device_get(losses))) < first
+
+
+def test_mixed_precision_training():
+    """compute_dtype bfloat16 trains: conv compute in bf16, params stay
+    float32, loss accumulates in float32 and decreases comparably to f32."""
+    import dream_tpu.data as dream_data
+
+    def run(dtype_name, epochs=4):
+        cfg = _vgg_config(loss="weighted_mse")
+        cfg["architecture"]["loss"]["pos_weight"] = 20.0
+        if dtype_name:
+            cfg["architecture"]["compute_dtype"] = dtype_name
+        net = DreamNetwork(cfg)
+        net.init_variables(seed=5)
+        processor = dream_data.make_batch_processor(
+            (128, 96), (64, 64), (16, 16), "shrink-and-crop",
+            cfg["architecture"]["image_normalization"],
+            augment=False, include_belief_maps=True,
+        )
+        net.enable_scanned_training(processor)
+        rng = np.random.RandomState(1)
+        images = jnp.asarray(rng.randint(0, 255, (8, 96, 128, 3), dtype=np.uint8))
+        kps = jnp.asarray(rng.uniform(20, 100, (8, 4, 2)).astype(np.float32))
+        idx = np.stack([rng.permutation(8)[:4] for _ in range(2)])
+        losses = None
+        for e in range(epochs):
+            losses = net.train_epoch_raw(jax.random.PRNGKey(e), images, kps, idx)
+        # Params remain float32 master copies.
+        for leaf in jax.tree_util.tree_leaves(net.variables["params"]):
+            assert leaf.dtype == jnp.float32
+        return np.asarray(jax.device_get(losses))
+
+    losses_f32 = run(None)
+    losses_bf16 = run("bfloat16")
+    assert np.all(np.isfinite(losses_bf16))
+    # bf16 training makes comparable progress (same order of magnitude).
+    assert losses_bf16.mean() < 3.0 * losses_f32.mean() + 1e-6
