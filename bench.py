@@ -178,9 +178,11 @@ def main():
     train_fps = 0.0
     train_trials = []
     for train_b in (64, 32):
-        train_frames = batches.get(train_b) or jnp.asarray(
-            rng.randint(0, 255, size=(train_b, 480, 640, 3), dtype=np.uint8)
-        )
+        train_frames = batches.get(train_b)
+        if train_frames is None:
+            train_frames = jnp.asarray(
+                rng.randint(0, 255, size=(train_b, 480, 640, 3), dtype=np.uint8)
+            )
         kp_raw = jnp.asarray(
             rng.rand(train_b, 7, 2).astype(np.float32) * [[640.0, 480.0]]
         )
