@@ -7,3 +7,7 @@ from dream_tpu.parallel.mesh import (
     initialize_distributed,
     process_local_batch,
 )
+from dream_tpu.parallel.pipeline import (
+    make_pipeline_mesh,
+    pipeline_multistage_inference,
+)

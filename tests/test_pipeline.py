@@ -1,0 +1,73 @@
+"""Stage-pipeline parallelism tests (virtual 8-device CPU mesh).
+
+The multistage cascade as a GPipe-style pipeline over a ``stage`` mesh axis
+must reproduce the sequential model's final-stage belief maps exactly
+(same params, same math — the stage-1 homogenization is a zero-pad).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dream_tpu.models.hourglass import DreamHourglassMultiStage
+from dream_tpu.parallel.pipeline import (
+    make_pipeline_mesh,
+    pipeline_multistage_inference,
+)
+
+
+@pytest.mark.parametrize("n_stages,n_micro", [(2, 4), (4, 2)])
+def test_pipeline_matches_sequential(n_stages, n_micro):
+    model = DreamHourglassMultiStage(n_keypoints=4, n_stages=n_stages)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(8, 64, 64, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x[:1])
+
+    sequential = model.apply(variables, x)[-1]
+
+    fn, mesh = pipeline_multistage_inference(
+        model, variables, n_microbatches=n_micro
+    )
+    assert mesh.shape["stage"] == n_stages
+    pipelined = fn(x)
+
+    assert pipelined.shape == sequential.shape
+    np.testing.assert_allclose(
+        np.asarray(pipelined), np.asarray(sequential), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_pipeline_params_actually_staged():
+    """The stacked parameter tree must land sharded over the stage axis."""
+    model = DreamHourglassMultiStage(n_keypoints=4, n_stages=2)
+    x = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    fn, mesh = pipeline_multistage_inference(model, variables, n_microbatches=2)
+    # Rebuild the stacked tree the same way and check placement via the fn's
+    # closed-over params: run once, then inspect a device buffer count.
+    from dream_tpu.parallel.pipeline import _stack_stage_params
+
+    stacked = _stack_stage_params(variables, 2, 4)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    placed = jax.device_put(
+        stacked,
+        jax.tree_util.tree_map(lambda _: NamedSharding(mesh, P("stage")), stacked),
+    )
+    leaf = jax.tree_util.tree_leaves(placed)[0]
+    assert len(leaf.sharding.device_set) == 2
+    # Each device holds exactly one stage's slice.
+    shard_shapes = {s.data.shape for s in leaf.addressable_shards}
+    assert all(shape[0] == 1 for shape in shard_shapes)
+
+
+def test_pipeline_rejects_unsupported_configs():
+    model = DreamHourglassMultiStage(
+        n_keypoints=4, n_stages=2, deconv_decoder=True
+    )
+    x = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    with pytest.raises(AssertionError):
+        pipeline_multistage_inference(model, variables)
