@@ -647,6 +647,52 @@ class DreamNetwork:
 
         return run
 
+    def enable_pipeline_inference(self, n_microbatches: int = 4, mesh=None):
+        """Run the multistage cascade stage-parallel across devices.
+
+        Replaces the sequential forward with a GPipe-style pipeline (one
+        stage per device on a ``stage`` mesh axis, ppermute microbatch
+        streaming — ``dream_tpu/parallel/pipeline.py``); the peak decode
+        runs on the replicated final-stage maps.  Identical outputs to the
+        sequential path (pipeline tests pin 1e-5 agreement).  The batch fed
+        to :meth:`inference` must divide by ``n_microbatches``.  No
+        reference analog (its multistage model is single-GPU sequential,
+        reference dream/models.py:350-553).  Returns the stage mesh.
+        """
+        from dream_tpu import models as dream_models
+        from dream_tpu.parallel.pipeline import pipeline_multistage_inference
+
+        assert isinstance(self.model, dream_models.DreamHourglassMultiStage), (
+            "Pipeline inference applies to the multistage cascade; "
+            f"got {type(self.model).__name__}."
+        )
+        self.init_variables()
+        pipe_fn, mesh = pipeline_multistage_inference(
+            self.model, self.variables, mesh=mesh,
+            n_microbatches=n_microbatches,
+        )
+        offset = self.peak_offset_due_to_upsampling()
+        use_scores = self.use_belief_peak_scores
+        gap = self.belief_peak_next_best_score
+        decode = jax.jit(
+            functools.partial(
+                bm_ops.keypoints_from_belief_maps,
+                offset_due_to_upsampling=offset,
+                use_belief_peak_scores=use_scores,
+                belief_peak_next_best_score=gap,
+            )
+        )
+
+        def run(variables, net_input):
+            belief = jnp.moveaxis(pipe_fn(net_input), -1, 1)  # [B, n_kp, h, w]
+            keypoints, _ = decode(belief)
+            return belief, keypoints
+
+        # Override the cached sequential path (cached_property stores into
+        # __dict__, so a later enable_ call simply replaces it).
+        self.__dict__["_inference_fn"] = run
+        return mesh
+
     def inference(self, network_input):
         """Image batch (NHWC float) -> (belief_maps [B,n_kp,h,w], keypoints [B,n_kp,2]).
 

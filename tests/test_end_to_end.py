@@ -193,8 +193,14 @@ def test_analyze_ransac_and_robust_pnp_paths(env):
     _, pnp_robust = run(
         "robust", pnp_weight_by_score=True, pnp_reject_outliers_px=10.0
     )
+    _, pnp_soft = run(
+        "soft", pnp_soft_detections=True, pnp_reject_outliers_px=5.0
+    )
 
     assert pnp_ransac["num_pnp_found"] >= pnp_plain["num_pnp_found"]
-    for result in (pnp_plain, pnp_ransac, pnp_robust):
+    # Soft detections can only ADD above-floor correspondences, so the
+    # success count never drops below the canonical-detection solve.
+    assert pnp_soft["num_pnp_found"] >= pnp_plain["num_pnp_found"]
+    for result in (pnp_plain, pnp_ransac, pnp_robust, pnp_soft):
         assert result["num_pnp_possible"] == pnp_plain["num_pnp_possible"]
         assert 0.0 <= result["add_auc"] <= 1.0

@@ -71,3 +71,28 @@ def test_pipeline_rejects_unsupported_configs():
     variables = model.init(jax.random.PRNGKey(0), x)
     with pytest.raises(AssertionError):
         pipeline_multistage_inference(model, variables)
+
+
+def test_network_pipeline_inference_matches_sequential():
+    """DreamNetwork.enable_pipeline_inference reproduces the sequential
+    inference (belief maps AND decoded keypoints)."""
+    from dream_tpu.network import DreamNetwork
+    from tests.test_network import _vgg_config
+
+    cfg = _vgg_config(n_stages=2)
+    net = DreamNetwork(cfg)
+    net.init_variables(seed=3)
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(4, 64, 64, 3).astype(np.float32))
+
+    belief_seq, kp_seq = net.inference(x)
+    belief_seq, kp_seq = np.asarray(belief_seq), np.asarray(kp_seq)
+
+    mesh = net.enable_pipeline_inference(n_microbatches=2)
+    assert mesh.shape["stage"] == 2
+    belief_pipe, kp_pipe = net.inference(x)
+
+    np.testing.assert_allclose(
+        np.asarray(belief_pipe), belief_seq, atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(kp_pipe), kp_seq, atol=1e-4)
