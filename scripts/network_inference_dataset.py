@@ -37,6 +37,7 @@ def network_inference_dataset(args):
         pnp_weight_by_score=args.pnp_weight_by_score,
         pnp_reject_outliers_px=args.pnp_reject_outliers_px,
         pnp_soft_detections=args.pnp_soft_detections,
+        pnp_soft_min_score=args.pnp_soft_min_score,
     )
 
 
@@ -73,6 +74,9 @@ if __name__ == "__main__":
                              "keypoint metrics; recovers poses on compact/"
                              "ambiguous frames that otherwise fall below "
                              "the 4-point PnP floor.")
+    parser.add_argument("--pnp-soft-min-score", type=float, default=0.05,
+                        help="Absolute peak-score floor for "
+                             "--pnp-soft-detections.")
     parser.add_argument("--pnp-reject-outliers-px", type=float, default=None,
                         help="Drop correspondences reprojecting worse than "
                              "this many px after a first solve, then "
