@@ -20,6 +20,7 @@ per-image CPU peak extraction and per-frame cv2 PnP calls.
 from __future__ import annotations
 
 import csv
+import functools
 import os
 from typing import Dict, List, Optional
 
@@ -416,7 +417,13 @@ def analyze_ndds_dataset(
                 )
             else:
                 this_metric = 999.999
-            sample_results.append((sample_idx, {"name": names[b]}, this_metric))
+            sample_results.append(
+                (
+                    sample_idx,
+                    {"name": names[b], "detected_raw": detected_raw[b]},
+                    this_metric,
+                )
+            )
             sample_names_all.append(names[b])
             sample_idx += 1
 
@@ -436,6 +443,7 @@ def analyze_ndds_dataset(
     )
 
     pnp_results = None
+    pnp_results_alt = None
     if pnp_analysis:
         camera_K = load_camera_intrinsics(found[1]["camera"])
         all_gt_kp_positions = np.array(all_gt_kp_positions)
@@ -540,19 +548,36 @@ def analyze_ndds_dataset(
                 jnp.asarray(detect_mask, jnp.float32),
             )
         )
+        # Same metric under the alternate rotation convention (the pyrr
+        # matrix33 row-vector ambiguity, see gv.add_from_pose).  Reported
+        # side-by-side until real reference data settles which one the
+        # published numbers used.
+        adds_alt = np.asarray(
+            jax.vmap(
+                functools.partial(gv.add_from_pose,
+                                  rotation_convention="transposed")
+            )(
+                results.translation, results.quaternion,
+                jnp.asarray(all_gt_kp_positions, jnp.float32),
+                jnp.asarray(detect_mask, jnp.float32),
+            )
+        )
 
         pnp_attempts_successful = valid.tolist()
         poses_xyzxyzw = []
         pnp_add = []
+        pnp_add_alt = []
         for i in range(n_samples):
             if valid[i]:
                 poses_xyzxyzw.append(
                     translations[i].tolist() + quaternions[i].tolist()
                 )
                 pnp_add.append(float(adds[i]))
+                pnp_add_alt.append(float(adds_alt[i]))
             else:
                 poses_xyzxyzw.append([-999.99] * 7)
                 pnp_add.append(-999.99)
+                pnp_add_alt.append(-999.99)
 
         write_pnp_csv(
             os.path.join(output_dir, "pnp_results.csv"),
@@ -560,28 +585,37 @@ def analyze_ndds_dataset(
             n_inframe.tolist(),
         )
         pnp_results = pnp_metrics(pnp_add, n_inframe)
+        pnp_results_alt = pnp_metrics(pnp_add_alt, n_inframe)
 
     _write_analysis_report(
         os.path.join(output_dir, "analysis_results.txt"),
         dataset_dir, network_config_path, n_samples,
         kp_metrics_result, pnp_results, pnp_analysis,
+        pnp_alt=pnp_results_alt,
     )
 
     if visualize_belief_maps:
+        # IO/encode problems must not fail the analysis, but logic errors in
+        # the visualization code should surface rather than be swallowed.
         try:
-            _write_sample_mosaics(
-                output_dir, dataset, sample_results, dream_network, process,
-            )
-        except Exception as exc:  # visualization must never fail the analysis
+            _write_sample_mosaics(output_dir, dataset, sample_results)
+        except (OSError, MemoryError) as exc:
             print(f"Sample mosaic generation skipped: {exc}")
 
     return kp_metrics_result, pnp_results
 
 
 def _write_analysis_report(
-    path, dataset_dir, network_config_path, n_samples, kp, pnp, pnp_analysis
+    path, dataset_dir, network_config_path, n_samples, kp, pnp, pnp_analysis,
+    pnp_alt=None,
 ):
-    """analysis_results.txt writer (reference dream/analysis.py:363-502)."""
+    """analysis_results.txt writer (reference dream/analysis.py:363-502).
+
+    ``pnp_alt``: the same PnP metrics computed under the alternate
+    (transposed-R) ADD rotation convention; reported as an informational
+    side-by-side line until real reference data resolves the pyrr matrix33
+    ambiguity (see dream_tpu/ops/geometric_vision.py:add_from_pose).
+    """
     lines: List[str] = []
 
     def emit(text):
@@ -670,6 +704,19 @@ def _write_analysis_report(
             emit("   Mean: {:.5f}".format(pnp["add_mean"]))
             emit("   Median: {:.5f}".format(pnp["add_median"]))
             emit("   Std Dev: {:.5f}".format(pnp["add_std"]))
+            if pnp_alt is not None:
+                emit(
+                    "   [info] ADD AUC / mean under the alternate "
+                    "(transposed-R) rotation convention: "
+                    "{:.5f} / {:.5f}".format(
+                        pnp_alt["add_auc"], pnp_alt["add_mean"]
+                    )
+                )
+                emit(
+                    "   [info] Primary numbers above use the 'standard' "
+                    "convention (R @ kp + t); see "
+                    "dream_tpu/ops/geometric_vision.py:add_from_pose."
+                )
         else:
             emit("No frames where PNP is possible.")
         emit("")
@@ -776,9 +823,14 @@ def sample_range_analysis(
         )
 
 
-def _write_sample_mosaics(output_dir, dataset, sample_results, network, process):
+def _write_sample_mosaics(output_dir, dataset, sample_results):
     """Best/median/worst sample visualization mosaics
-    (reference dream/analysis.py:504-751, simplified composition)."""
+    (reference dream/analysis.py:504-751, simplified composition).
+
+    Reuses the detected keypoints captured during the batched inference loop
+    (``sample_results[i][1]["detected_raw"]``) rather than re-running
+    per-sample inference.
+    """
     from dream_tpu.visualize import mosaic_images, overlay_points_on_image
     from PIL import Image
 
@@ -798,10 +850,9 @@ def _write_sample_mosaics(output_dir, dataset, sample_results, network, process)
         images = []
         for idx, info, metric in entries:
             raw = dataset.load_images([idx])[0]
-            result = network.keypoints_from_image(raw)
             img = Image.fromarray(raw)
             img = overlay_points_on_image(
-                img, result["detected_keypoints"],
+                img, info["detected_raw"],
                 annotation_color_dot="red",
             )
             img = overlay_points_on_image(

@@ -399,14 +399,16 @@ class DataLoader:
         batches = self._batches()
         if not batches:
             return
-        pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
-        future = pool.submit(self.dataset.host_batch, batches[0])
-        for i in range(len(batches)):
-            batch = future.result()
-            if i + 1 < len(batches):
-                future = pool.submit(self.dataset.host_batch, batches[i + 1])
-            yield batch
-        pool.shutdown(wait=False)
+        # The pool must shut down even when iteration is abandoned early
+        # (break / exception in the consumer closes the generator, which
+        # raises GeneratorExit here and runs the context manager's __exit__).
+        with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
+            future = pool.submit(self.dataset.host_batch, batches[0])
+            for i in range(len(batches)):
+                batch = future.result()
+                if i + 1 < len(batches):
+                    future = pool.submit(self.dataset.host_batch, batches[i + 1])
+                yield batch
 
 
 class DeviceCachedLoader:

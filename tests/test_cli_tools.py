@@ -204,3 +204,67 @@ def test_parity_check_add_convention_resolution(tmp_path):
         winner, detail = resolve_add_convention(csv_path, data_dir, "panda", names)
         assert winner == convention, (convention, detail)
         assert detail["n_frames"] == 6
+
+
+def test_visualize_network_inference_ndds_gt_overlays(tmp_path):
+    """Video-viz CLI on an NDDS dataset: batched inference produces every
+    requested frame type, and GT keypoints are overlaid in green
+    (reference scripts/visualize_network_inference.py:293-318,451-455)."""
+    from dream_tpu import data as dream_data
+    from dream_tpu.network import DreamNetwork
+    from dream_tpu.utils.config import load_yaml
+    import visualize_network_inference as vni
+    from PIL import Image
+
+    manip_cfg = load_yaml(os.path.join(REPO, "manip_configs", "panda.yaml"))
+    kp_names = [k["name"] for k in manip_cfg["manipulator"]["keypoints"]]
+    data_dir = str(tmp_path / "data")
+    dream_data.generate_synthetic_ndds(
+        data_dir, n_frames=5, image_resolution=(160, 120), seed=4,
+        out_of_frame_fraction=0.0,
+    )
+
+    cfg = {
+        "architecture": {
+            "type": "vgg", "target": "belief_maps",
+            "input_heads": ["image_rgb"], "output_heads": ["belief_maps"],
+            "image_normalization": {"mean": [0.5] * 3, "stdev": [0.5] * 3},
+            "loss": {"type": "mse"},
+            "image_preprocessing": "resize",
+        },
+        "manipulator": manip_cfg["manipulator"],
+        "training": {"config": {"net_input_resolution": [64, 64]},
+                     "platform": {}},
+    }
+    net = DreamNetwork(cfg)
+    net.init_variables()
+    net.save_network(str(tmp_path), "model")
+
+    out_dir = str(tmp_path / "viz")
+
+    class Args:
+        input_params_path = str(tmp_path / "model.msgpack")
+        network_config = None
+        dataset_dir = data_dir
+        output_dir = out_dir
+        force_overwrite = True
+        visualization_types = list(vni.ALL_VIZ_TYPES)
+        batch_size = 2  # frames (5) don't divide the batch -> exercises tail
+        num_workers = 2
+        fps = 30.0
+        start_frame = 1
+        end_frame = None
+
+    vni.visualize_network_inference(Args())
+
+    for vt in vni.ALL_VIZ_TYPES:
+        frames = sorted(os.listdir(os.path.join(out_dir, vt + "_frames")))
+        assert frames == [f"{i:06d}.png" for i in range(4)], (vt, frames)
+
+    # GT keypoints render as exact pure-green filled circles on the raw
+    # overlay (in-frame by construction: out_of_frame_fraction=0).
+    img = np.asarray(
+        Image.open(os.path.join(out_dir, "kp_overlay_raw_frames", "000000.png"))
+    )
+    green = (img[..., 0] == 0) & (img[..., 1] == 128) & (img[..., 2] == 0)
+    assert green.any(), "expected green GT keypoint overlays on the NDDS path"

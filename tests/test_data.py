@@ -224,3 +224,21 @@ def test_heavy_debug_dumps_to_disk(tmp_path):
     before = len(files)
     dataset.host_batch([0])
     assert len(os.listdir(debug_dir)) == before
+
+
+def test_dataloader_abandoned_iteration_cleans_up(synth):
+    """Abandoning iteration early (break / generator close) must shut the
+    prefetch thread pool down instead of leaking its worker thread."""
+    import gc
+    import threading
+    import time
+
+    gc.collect()
+    base = threading.active_count()
+    it = iter(dream_data.DataLoader(synth, 2, shuffle=False))
+    next(it)
+    it.close()  # what a consumer's `break` triggers on GC / scope exit
+    deadline = time.time() + 5.0
+    while threading.active_count() > base and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= base

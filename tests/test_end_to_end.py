@@ -111,6 +111,10 @@ def test_train_resume_analyze(env):
 
     report = open(os.path.join(analysis_dir, "analysis_results.txt")).read()
     assert "Number of frames in this dataset: 16" in report
+    # Dual-convention ADD reporting (pyrr matrix33 ambiguity, see
+    # geometric_vision.add_from_pose): both conventions must appear until
+    # real reference data settles which one the published numbers used.
+    assert "alternate (transposed-R) rotation convention" in report
 
 
 def test_train_on_mesh(env):

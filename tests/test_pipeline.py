@@ -96,3 +96,104 @@ def test_network_pipeline_inference_matches_sequential():
         np.asarray(belief_pipe), belief_seq, atol=1e-5, rtol=1e-5
     )
     np.testing.assert_allclose(np.asarray(kp_pipe), kp_seq, atol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "loss_cfg",
+    [{"type": "mse"}, {"type": "weighted_mse", "pos_weight": 25.0}],
+)
+def test_pipeline_gradient_parity(loss_cfg):
+    """Pipelined training (GPipe forward + AD-reversed backward) must produce
+    the SAME loss and per-stage gradients as the sequential all-stage
+    criterion (reference dream/network.py:345-356 semantics)."""
+    from dream_tpu.parallel.pipeline import (
+        pipeline_multistage_value_and_grad,
+        unstack_stage_params,
+    )
+
+    n_stages, n_micro, n_kp = 2, 4, 4
+    model = DreamHourglassMultiStage(n_keypoints=n_kp, n_stages=n_stages)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(8, 64, 64, 3).astype(np.float32))
+    targets = jnp.asarray(
+        np.abs(rng.randn(8, 16, 16, n_kp)).astype(np.float32) * 0.1
+    )
+    variables = model.init(jax.random.PRNGKey(1), x[:1])
+
+    if loss_cfg["type"] == "weighted_mse":
+        pw = loss_cfg["pos_weight"]
+
+        def criterion(pred, target):
+            w = 1.0 + (pw - 1.0) * jnp.clip(target, 0.0, 1.0)
+            return jnp.sum(w * (pred - target) ** 2) / jnp.sum(w)
+    else:
+        def criterion(pred, target):
+            return jnp.mean((pred - target) ** 2)
+
+    def sequential_loss(params):
+        outputs = model.apply({"params": params}, x)
+        stacked = jnp.stack(outputs).astype(jnp.float32)
+        tgt = jnp.broadcast_to(targets.astype(jnp.float32), stacked.shape)
+        return criterion(stacked, tgt)
+
+    loss_seq, grads_seq = jax.value_and_grad(sequential_loss)(
+        variables["params"]
+    )
+
+    vg_fn, stacked_params, mesh = pipeline_multistage_value_and_grad(
+        model, variables, n_microbatches=n_micro, loss_config=loss_cfg,
+    )
+    assert mesh.shape["stage"] == n_stages
+    loss_pipe, grads_stacked = vg_fn(stacked_params, x, targets)
+    grads_pipe = unstack_stage_params(grads_stacked, n_kp)
+
+    np.testing.assert_allclose(
+        float(loss_pipe), float(loss_seq), rtol=1e-5
+    )
+    flat_seq = jax.tree_util.tree_leaves_with_path(grads_seq)
+    flat_pipe = dict(
+        jax.tree_util.tree_leaves_with_path(grads_pipe)
+    )
+    assert len(flat_seq) == len(flat_pipe)
+    for path, leaf_seq in flat_seq:
+        leaf_pipe = flat_pipe[path]
+        np.testing.assert_allclose(
+            np.asarray(leaf_pipe), np.asarray(leaf_seq),
+            atol=2e-5, rtol=2e-3,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+def test_pipeline_train_step_learns():
+    """The full pipelined train step (stage-sharded params + optax state)
+    reduces the loss on a fixed batch."""
+    import optax
+
+    from dream_tpu.parallel.pipeline import (
+        pipeline_multistage_train_step,
+        unstack_stage_params,
+    )
+
+    model = DreamHourglassMultiStage(n_keypoints=3, n_stages=2)
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(4, 64, 64, 3).astype(np.float32))
+    targets = jnp.asarray(
+        np.abs(rng.randn(4, 16, 16, 3)).astype(np.float32) * 0.1
+    )
+    variables = model.init(jax.random.PRNGKey(0), x[:1])
+
+    step, state = pipeline_multistage_train_step(
+        model, variables, optax.adam(1e-3), n_microbatches=2,
+        loss_config={"type": "mse"},
+    )
+    losses = []
+    for _ in range(5):
+        state, loss = step(state, x, targets)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+    # Round-trip: updated stage-stacked params map back to the sequential
+    # layout and still drive the sequential model.
+    params = unstack_stage_params(state["params"], 3)
+    out = model.apply({"params": params}, x)
+    assert out[-1].shape == (4, 16, 16, 3)
