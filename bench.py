@@ -136,8 +136,11 @@ def main():
             break
         time.sleep(5.0)  # let the relay settle, then re-warm + retry
 
-    # Fused train-step throughput (fwd+bwd+adam from raw uint8 frames, one
-    # dispatch) so the official capture gates training perf too.
+    # Training throughput in the PRODUCTION configuration — bf16 compute +
+    # scanned epochs over a device-resident set (the --cache-device path that
+    # scripts/train_network.py ships; round-2's official capture fell back to
+    # a degraded f32 per-step number when one compile hit a transient relay
+    # HTTP 500, so compiles now retry on transient errors).
     arch_config = {
         "architecture": {
             "type": "vgg",
@@ -147,6 +150,7 @@ def main():
             "image_normalization": norm,
             "loss": {"type": "mse"},
             "image_preprocessing": "shrink-and-crop",
+            "compute_dtype": "bfloat16",
         },
         "manipulator": {
             "name": "panda",
@@ -170,36 +174,72 @@ def main():
         (640, 480), (400, 400), (100, 100), "shrink-and-crop", norm,
         augment=True, include_belief_maps=True,
     )
-    net.enable_fused_training(process)
+    net.enable_scanned_training(process)
     step_key = jax.random.PRNGKey(1)
 
-    # Largest batch that fits HBM: fwd+bwd activations of the 400x400
-    # hourglass OOM one v5e chip (16G) at b=128; b<=64 fits.
+    # Small HBM-resident set; one dispatch = one shuffled epoch of
+    # STEPS_PER_EPOCH fused steps (gather + augment + GT maps + fwd/bwd +
+    # adam), exactly what --cache-device training runs.
+    TRAIN_B = 32
+    N_SET = 256
+    STEPS_PER_EPOCH = N_SET // TRAIN_B
+    images_ref = jnp.asarray(
+        rng.randint(0, 255, size=(N_SET, 480, 640, 3), dtype=np.uint8)
+    )
+    kp_ref = jnp.asarray(
+        rng.rand(N_SET, 7, 2).astype(np.float32) * [[640.0, 480.0]]
+    )
+    idx = jnp.asarray(
+        rng.permutation(N_SET).reshape(STEPS_PER_EPOCH, TRAIN_B), jnp.int32
+    )
+
+    def epoch_once():
+        return net.train_epoch_raw(step_key, images_ref, kp_ref, idx)
+
     train_fps = 0.0
     train_trials = []
-    for train_b in (64, 32):
-        train_frames = batches.get(train_b)
-        if train_frames is None:
-            train_frames = jnp.asarray(
-                rng.randint(0, 255, size=(train_b, 480, 640, 3), dtype=np.uint8)
+    train_mode = "scanned-epoch bf16 (production --cache-device path)"
+    compiled = False
+    for compile_attempt in range(1, MAX_ATTEMPTS + 1):
+        try:
+            sync(epoch_once())  # warm-up / compile
+            compiled = True
+            break
+        except Exception as exc:
+            msg = f"{exc}"
+            anomalies.append(
+                {
+                    "train_compile_attempt": compile_attempt,
+                    "reason": f"train-epoch compile failed: {msg}"[:200],
+                }
             )
-        kp_raw = jnp.asarray(
-            rng.rand(train_b, 7, 2).astype(np.float32) * [[640.0, 480.0]]
+            if "RESOURCE_EXHAUSTED" in msg:
+                break  # a real OOM won't heal with a retry
+            time.sleep(10.0)  # transient relay failure (e.g. HTTP 500)
+
+    if compiled:
+        train_trials = _timed_trials(
+            epoch_once, sync, N_SET, 3, n_trials=2
         )
+        train_fps = float(np.median(train_trials))
+    else:
+        # Fall back to the per-step fused path at the same batch size so the
+        # capture still carries a training number.
+        train_mode = "fused-step bf16 (scanned compile failed)"
+        train_frames = images_ref[:TRAIN_B]
+        kp_raw = kp_ref[:TRAIN_B]
 
         def train_once():
             return net.train_raw(step_key, train_frames, kp_raw)
 
         try:
-            sync(train_once())  # compile
-        except Exception as exc:  # OOM at this batch -> try the next size
+            sync(train_once())
+            train_trials = _timed_trials(train_once, sync, TRAIN_B, 8, n_trials=2)
+            train_fps = float(np.median(train_trials))
+        except Exception as exc:
             anomalies.append(
-                {"train_batch": train_b, "reason": f"train-step compile failed: {exc}"[:200]}
+                {"reason": f"fused train-step fallback failed: {exc}"[:200]}
             )
-            continue
-        train_trials = _timed_trials(train_once, sync, train_b, 8, n_trials=2)
-        train_fps = float(np.median(train_trials))
-        break
 
     best_batch = max(results, key=results.get)
     fps = results[best_batch]
@@ -219,7 +259,8 @@ def main():
                     "per_batch_trials_fps": trials_detail,
                     "best_batch": best_batch,
                     "train_step_imgs_per_sec": round(train_fps, 1),
-                    "train_step_batch": train_b,
+                    "train_step_batch": TRAIN_B,
+                    "train_step_mode": train_mode,
                     "train_step_trials": [round(t, 1) for t in train_trials],
                     "capture_anomalies": anomalies,
                     "baseline": f"10x RTX-2080 @ {REFERENCE_RTX2080_FPS} fps = {baseline_fps} fps",

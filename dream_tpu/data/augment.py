@@ -168,9 +168,60 @@ def augment_sample(key, image, keypoints, cfg: AugmentConfig = DEFAULT_AUGMENT):
     return jnp.clip(image, 0.0, 255.0), keypoints
 
 
-def augment_batch(key, images, keypoints, cfg: AugmentConfig = DEFAULT_AUGMENT):
-    """vmapped :func:`augment_sample` over the batch dim."""
-    keys = jax.random.split(key, images.shape[0])
-    return jax.vmap(lambda k, im, kp: augment_sample(k, im, kp, cfg))(
-        keys, images, keypoints
+def augment_batch(
+    key,
+    images,
+    keypoints,
+    cfg: AugmentConfig = DEFAULT_AUGMENT,
+    warp_backend: str = "auto",
+):
+    """Batched :func:`augment_sample`.
+
+    ``warp_backend`` selects the bilinear-warp implementation:
+
+    - ``"auto"``: the Pallas MXU kernel (ops/pallas_warp.py) on TPU when the
+      shape qualifies, else the vmapped XLA gather path — the kernel turns
+      the gather-bound warp (~110 ms of a 246 ms b=32x400x400 train step)
+      into MXU one-hot contractions;
+    - ``"gather"`` / ``"pallas"`` / ``"pallas_interpret"``: forced choice
+      (interpret = CPU-testable kernel execution).
+
+    Both paths consume identical PRNG splits, so the sampled augmentation
+    parameters (and the keypoint transform) are bit-identical across
+    backends; warped images agree to float32 rounding
+    (tests/test_pallas_warp.py).
+    """
+    n = images.shape[0]
+    h, w = images.shape[1], images.shape[2]
+    keys = jax.random.split(key, n)
+
+    if warp_backend == "auto":
+        warp_backend = (
+            "pallas"
+            if jax.default_backend() == "tpu" and h % 8 == 0
+            else "gather"
+        )
+
+    if warp_backend == "gather":
+        return jax.vmap(lambda k, im, kp: augment_sample(k, im, kp, cfg))(
+            keys, images, keypoints
+        )
+
+    assert warp_backend in ("pallas", "pallas_interpret"), warp_backend
+    from dream_tpu.ops.pallas_warp import warp_batch_pallas
+
+    # Same per-sample split structure as augment_sample so parameter draws
+    # are bit-identical regardless of backend.
+    k3 = jax.vmap(lambda k: jax.random.split(k, 3))(keys)  # [n, 3, 2]
+    k_noise, k_bc, k_aff = k3[:, 0], k3[:, 1], k3[:, 2]
+    affines = jax.vmap(lambda k: _affine_matrix(k, h, w, cfg))(k_aff)
+    images = warp_batch_pallas(
+        images.astype(jnp.float32), affines,
+        interpret=(warp_backend == "pallas_interpret"),
     )
+    keypoints = jax.vmap(_transform_keypoints)(keypoints, affines)
+    images = jax.vmap(lambda k, im: _brightness_contrast(k, im, cfg))(
+        k_bc, images
+    )
+    images = jax.vmap(lambda k, im: _gauss_noise(k, im, cfg))(k_noise, images)
+    return jnp.clip(images, 0.0, 255.0), keypoints

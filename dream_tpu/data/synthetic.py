@@ -60,13 +60,48 @@ def _rotation_matrix(rng: np.random.RandomState) -> np.ndarray:
     return np.eye(3) + np.sin(angle) * K + (1 - np.cos(angle)) * (K @ K)
 
 
+def _paint_segment(img, xx, yy, a, b, radius, color):
+    ab = b - a
+    denom = float(ab @ ab) + 1e-9
+    t = ((xx - a[0]) * ab[0] + (yy - a[1]) * ab[1]) / denom
+    t = np.clip(t, 0.0, 1.0)
+    dx = xx - (a[0] + t * ab[0])
+    dy = yy - (a[1] + t * ab[1])
+    dist = np.sqrt(dx * dx + dy * dy)
+    alpha = np.clip(radius + 1.0 - dist, 0.0, 1.0)[..., None]
+    return img * (1 - alpha) + color * alpha
+
+
+def _paint_disk(img, xx, yy, p, radius, color):
+    dist = np.sqrt((xx - p[0]) ** 2 + (yy - p[1]) ** 2)
+    alpha = np.clip(radius + 1.0 - dist, 0.0, 1.0)[..., None]
+    return img * (1 - alpha) + color * alpha
+
+
+def _paint_rect(img, xx, yy, x0, y0, rw, rh, color):
+    alpha = (
+        (xx >= x0) & (xx < x0 + rw) & (yy >= y0) & (yy < y0 + rh)
+    ).astype(np.float32)[..., None]
+    return img * (1 - alpha) + color * alpha
+
+
 def _render_frame(
     resolution: Tuple[int, int],
     kp_projs: np.ndarray,
     depths: np.ndarray,
     rng: np.random.RandomState,
+    domain_randomization: bool = False,
 ) -> np.ndarray:
-    """Vectorized stick-figure render: background + limbs + keypoint disks."""
+    """Vectorized stick-figure render: background + limbs + keypoint disks.
+
+    ``domain_randomization`` adds the randomization axes of the reference's
+    "DR" synthetic datasets (reference data/DOWNLOAD.sh names its synthetic
+    test splits synth_test_dr/_non_dr): textured backgrounds (sinusoid +
+    checker patterns), background distractor shapes, randomized robot/limb
+    colors, global lighting (per-channel gain + vignette), and foreground
+    occluders that may cover keypoints (GT labels are unaffected, as with a
+    real renderer's occlusions).
+    """
     w, h = resolution
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
 
@@ -79,19 +114,43 @@ def _render_frame(
         img[..., c] = base[c] + grad
     img += rng.randn(h, w, 3) * rng.uniform(2.0, 8.0)
 
+    if domain_randomization:
+        # Texture: a few random sinusoidal plaids.
+        for _ in range(rng.randint(1, 4)):
+            wavelength = rng.uniform(15, 160)
+            theta = rng.uniform(0, np.pi)
+            phase = rng.uniform(0, 2 * np.pi)
+            amp = rng.uniform(5, 30)
+            pattern = np.sin(
+                2 * np.pi * (np.cos(theta) * xx + np.sin(theta) * yy)
+                / wavelength + phase
+            )
+            img += amp * pattern[..., None] * rng.uniform(0.3, 1.0, size=3)
+        # Texture: optional checkerboard region.
+        if rng.rand() < 0.5:
+            cell = rng.randint(12, 60)
+            check = (((xx // cell) + (yy // cell)) % 2).astype(np.float32)
+            img = img * (1 - 0.3 * check[..., None]) + 0.3 * check[
+                ..., None
+            ] * rng.uniform(0, 255, size=3)
+        # Background distractor shapes (behind the robot).
+        for _ in range(rng.randint(3, 9)):
+            color = rng.uniform(0, 255, size=3)
+            if rng.rand() < 0.5:
+                a = rng.uniform([0, 0], [w, h])
+                b = a + rng.uniform(-150, 150, size=2)
+                img = _paint_segment(img, xx, yy, a, b, rng.uniform(2, 7), color)
+            else:
+                p = rng.uniform([0, 0], [w, h])
+                img = _paint_disk(img, xx, yy, p, rng.uniform(4, 25), color)
+
     # Limb segments: distance-to-segment field, vectorized over pixels.
-    limb_color = np.array([200.0, 200.0, 210.0]) + rng.randn(3) * 10
+    if domain_randomization:
+        limb_color = rng.uniform(60, 230, size=3)
+    else:
+        limb_color = np.array([200.0, 200.0, 210.0]) + rng.randn(3) * 10
     for a, b in zip(kp_projs[:-1], kp_projs[1:]):
-        ab = b - a
-        denom = float(ab @ ab) + 1e-9
-        t = ((xx - a[0]) * ab[0] + (yy - a[1]) * ab[1]) / denom
-        t = np.clip(t, 0.0, 1.0)
-        dx = xx - (a[0] + t * ab[0])
-        dy = yy - (a[1] + t * ab[1])
-        dist2 = dx * dx + dy * dy
-        radius = 4.0
-        alpha = np.clip(radius + 1.0 - np.sqrt(dist2), 0.0, 1.0)[..., None]
-        img = img * (1 - alpha) + limb_color * alpha
+        img = _paint_segment(img, xx, yy, a, b, 4.0, limb_color)
 
     # Keypoint disks, radius shrinking with depth, distinct colors.
     palette = np.array(
@@ -107,11 +166,31 @@ def _render_frame(
         ],
         dtype=np.float32,
     )
+    if domain_randomization:
+        palette = np.clip(palette + rng.uniform(-30, 30, palette.shape), 0, 255)
     for i, (p, z) in enumerate(zip(kp_projs, depths)):
         radius = np.clip(14.0 / max(z, 0.3), 3.0, 18.0)
-        dist = np.sqrt((xx - p[0]) ** 2 + (yy - p[1]) ** 2)
-        alpha = np.clip(radius + 1.0 - dist, 0.0, 1.0)[..., None]
-        img = img * (1 - alpha) + palette[i % len(palette)] * alpha
+        img = _paint_disk(img, xx, yy, p, radius, palette[i % len(palette)])
+
+    if domain_randomization:
+        # Foreground occluders: may cover keypoints; labels unchanged.
+        if rng.rand() < 0.5:
+            for _ in range(rng.randint(1, 4)):
+                color = rng.uniform(0, 255, size=3)
+                if rng.rand() < 0.5:
+                    img = _paint_rect(
+                        img, xx, yy,
+                        rng.uniform(0, w), rng.uniform(0, h),
+                        rng.uniform(15, 90), rng.uniform(15, 90), color,
+                    )
+                else:
+                    p = rng.uniform([0, 0], [w, h])
+                    img = _paint_disk(img, xx, yy, p, rng.uniform(10, 45), color)
+        # Lighting: per-channel gain + vignette.
+        img *= rng.uniform(0.6, 1.3, size=3)
+        vstrength = rng.uniform(0.0, 0.5)
+        r2 = ((xx - w / 2) ** 2 + (yy - h / 2) ** 2) / ((w / 2) ** 2 + (h / 2) ** 2)
+        img *= (1.0 - vstrength * r2)[..., None]
 
     return np.clip(img, 0, 255).astype(np.uint8)
 
@@ -121,6 +200,7 @@ def render_random_scene(
     image_resolution: Tuple[int, int] = (640, 480),
     n_keypoints: int = 7,
     out_of_frame: bool = False,
+    domain_randomization: bool = False,
 ):
     """Render one random synthetic scene in memory.
 
@@ -146,7 +226,10 @@ def render_random_scene(
     Xc = centered @ R.T + t
     proj = Xc @ K.T
     kp_projs = proj[:, :2] / proj[:, 2:3]
-    img = _render_frame(image_resolution, kp_projs, Xc[:, 2], rng)
+    img = _render_frame(
+        image_resolution, kp_projs, Xc[:, 2], rng,
+        domain_randomization=domain_randomization,
+    )
     return img, kp_projs, Xc
 
 
@@ -159,8 +242,13 @@ def generate_synthetic_ndds(
     seed: int = 0,
     out_of_frame_fraction: float = 0.1,
     image_extension: str = "png",
+    domain_randomization: bool = False,
 ) -> str:
-    """Write a synthetic NDDS dataset and return its path."""
+    """Write a synthetic NDDS dataset and return its path.
+
+    ``domain_randomization`` enables textured/distractor/occluder/lighting
+    randomization per frame (see ``_render_frame``) — the analog of the
+    reference's DR synthetic splits (reference data/DOWNLOAD.sh)."""
     from PIL import Image
 
     os.makedirs(output_dir, exist_ok=True)
@@ -212,7 +300,10 @@ def generate_synthetic_ndds(
         kp_projs = proj[:, :2] / proj[:, 2:3]
         depths = Xc[:, 2]
 
-        img = _render_frame(image_resolution, kp_projs, depths, rng)
+        img = _render_frame(
+            image_resolution, kp_projs, depths, rng,
+            domain_randomization=domain_randomization,
+        )
         name = f"{idx:06d}"
         Image.fromarray(img).save(
             os.path.join(output_dir, f"{name}.rgb.{image_extension}")

@@ -1,0 +1,197 @@
+"""Pallas TPU kernel for the augmentation affine warp (bilinear, reflect-101).
+
+The training augmentation (dream_tpu/data/augment.py, TPU-native analog of the
+reference's albumentations ShiftScaleRotate, reference dream/datasets.py:143-159)
+inverse-warps every 400x400x3 frame by a per-sample affine.  The XLA
+formulation — one ``lax.gather`` of a [2,2,C] window per output pixel — is
+index-count-bound on TPU (~110 ms of a 246 ms b=32 train step, 45%).
+
+This kernel reformulates the warp as MXU work instead of gather work:
+
+- Each (image, channel) plane is reflect-101 PADDED by 112 px once (plain XLA
+  ``jnp.pad``) so every source coordinate an in-range output can request lands
+  strictly inside the padded plane: coordinate folding disappears and source
+  coordinates become affine (monotone) in the output coordinates.
+- The padded 624x624 plane rides the Pallas grid pipeline into VMEM (one
+  whole plane per grid step — the 1.6 MB plane IS the double-buffered band).
+- The kernel tiles the output into (8, 128) blocks.  For a block, the affine
+  maps all 1024 output pixels into a window of at most 48 rows x 152 cols of
+  the padded plane (|rot| <= 15 deg, scale <= 1.1, shift <= 6.25%:
+  row span <= |c|*127 + |d|*7 + 2, col span <= |a|*127 + |b|*7 + 2).
+- Bilinear sampling of the window at the 1024 source points is computed as a
+  ONE-HOT CONTRACTION: ``Wx[l, p] = max(0, 1 - |src_x[p] - l|)`` is exactly
+  the 2-tap horizontal interpolation matrix, so
+  ``M = window @ Wx`` ([48,152] @ [152,1024], MXU) resamples every window row
+  at every pixel's x; the vertical taps then reduce on the VPU:
+  ``out[p] = sum_k max(0, 1 - |src_y[p] - k|) * M[k, p]``.
+  The product of the two hat weights is exactly the 2x2 bilinear stencil, so
+  the result equals the gather formulation to float32 rounding.
+
+FLOPs: 200 blocks/plane x 15 MFLOP = 3 GFLOP per 400x400 plane — ~0.3 s of
+MXU time per b=32x3 batch at even 25% f32 utilization, vs ~110 ms of gather.
+Measured on v5e: see DEMO.md (round 3).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Geometry bounds for the supported augmentation range (rotate <= 15 deg,
+# scale in [0.9, 1.1], shift <= 6.25% -> source excursion <= ~106 px past the
+# frame for 400x400 inputs; padding 112 keeps every tap single-fold inside
+# the padded plane).
+PAD = 112
+BLOCK_ROWS = 8
+BLOCK_COLS = 128
+WIN_ROWS = 48   # >= |c|*127 + |d|*7 + 2 for the supported affine range
+WIN_COLS = 152  # >= |a|*127 + |b|*7 + 2, rounded up to a multiple of 8
+
+
+def _warp_plane_kernel(params_ref, in_ref, out_ref, scratch_ref, *, h, w, hp, wp):
+    """Warp one padded [hp, wp] plane to an [h, w] output.
+
+    params_ref (SMEM, [1, 8]): inverse-affine row-major
+    ``[a, b, tx, c, d, ty, 0, 0]`` with the +PAD offset folded into tx/ty:
+    ``src_x = a*u + b*v + tx``, ``src_y = c*u + d*v + ty`` in padded coords.
+    """
+    a = params_ref[0, 0]
+    b = params_ref[0, 1]
+    tx = params_ref[0, 2]
+    c = params_ref[0, 3]
+    d = params_ref[0, 4]
+    ty = params_ref[0, 5]
+
+    n_rb = h // BLOCK_ROWS
+    n_cb = pl.cdiv(w, BLOCK_COLS)
+    npix = BLOCK_ROWS * BLOCK_COLS
+
+    # k/p index grids are block-independent; build them once.
+    colp_x = jax.lax.broadcasted_iota(jnp.int32, (WIN_COLS, npix), 1)
+    up_x = (colp_x % BLOCK_COLS).astype(jnp.float32)
+    rp_x = (colp_x // BLOCK_COLS).astype(jnp.float32)
+    l_x = jax.lax.broadcasted_iota(jnp.int32, (WIN_COLS, npix), 0)
+
+    colp_y = jax.lax.broadcasted_iota(jnp.int32, (WIN_ROWS, npix), 1)
+    up_y = (colp_y % BLOCK_COLS).astype(jnp.float32)
+    rp_y = (colp_y // BLOCK_COLS).astype(jnp.float32)
+    k_y = jax.lax.broadcasted_iota(jnp.int32, (WIN_ROWS, npix), 0)
+
+    def block(i, _):
+        rb = i // n_cb
+        cb = i % n_cb
+        v0 = rb * BLOCK_ROWS
+        u0 = cb * BLOCK_COLS
+        v0f = v0.astype(jnp.float32)
+        u0f = u0.astype(jnp.float32)
+        # Window base from the block's corner extrema over VALID output
+        # columns only (the final ragged column block computes padding
+        # columns whose results are trimmed; their source coords must not
+        # influence window placement).
+        u1f = jnp.minimum(u0f + (BLOCK_COLS - 1), float(w - 1))
+        v1f = v0f + (BLOCK_ROWS - 1)
+        sx_min = jnp.minimum(
+            jnp.minimum(a * u0f + b * v0f, a * u1f + b * v0f),
+            jnp.minimum(a * u0f + b * v1f, a * u1f + b * v1f),
+        ) + tx
+        sy_min = jnp.minimum(
+            jnp.minimum(c * u0f + d * v0f, c * u1f + d * v0f),
+            jnp.minimum(c * u0f + d * v1f, c * u1f + d * v1f),
+        ) + ty
+        kx0 = jnp.clip(jnp.floor(sx_min).astype(jnp.int32), 0, wp - WIN_COLS)
+        ky0 = jnp.clip(jnp.floor(sy_min).astype(jnp.int32), 0, hp - WIN_ROWS)
+
+        win = in_ref[0, 0, pl.ds(ky0, WIN_ROWS), pl.ds(kx0, WIN_COLS)]
+
+        # Horizontal one-hot hat weights on the [WIN_COLS, 1024] grid; the
+        # MXU contraction resamples all window rows at all pixel x's.
+        src_x = a * (u0f + up_x) + b * (v0f + rp_x) + tx
+        wx = jnp.maximum(
+            0.0, 1.0 - jnp.abs(src_x - (kx0 + l_x).astype(jnp.float32))
+        )
+        m = jnp.dot(win, wx, preferred_element_type=jnp.float32)
+
+        # Vertical hat weights + VPU reduction over the window rows.
+        src_y = c * (u0f + up_y) + d * (v0f + rp_y) + ty
+        wy = jnp.maximum(
+            0.0, 1.0 - jnp.abs(src_y - (ky0 + k_y).astype(jnp.float32))
+        )
+        outp = jnp.sum(wy * m, axis=0)  # [1024]
+
+        for r in range(BLOCK_ROWS):
+            scratch_ref[v0 + r, pl.ds(u0, BLOCK_COLS)] = outp[
+                r * BLOCK_COLS : (r + 1) * BLOCK_COLS
+            ]
+        return 0
+
+    jax.lax.fori_loop(0, n_rb * n_cb, block, 0)
+    out_ref[0, 0] = scratch_ref[:, :w]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def warp_batch_pallas(images, affines, interpret: bool = False):
+    """Inverse-warp a batch of images by per-sample forward affines.
+
+    Drop-in batched equivalent of the XLA gather path
+    (``augment._warp_bilinear_reflect101`` vmapped): bilinear sampling with
+    reflect-101 borders, float32.
+
+    Args:
+      images: ``[B, H, W, C]`` float32 (0-255 scale).
+      affines: ``[B, 2, 3]`` forward affine matrices
+        (cv2.getRotationMatrix2D convention, as built by
+        ``augment._affine_matrix``).
+      interpret: run the kernel in interpreter mode (CPU testing).
+
+    Returns ``[B, H, W, C]`` float32.
+    """
+    bsz, h, w, ch = images.shape
+    assert h % BLOCK_ROWS == 0, (h, BLOCK_ROWS)
+
+    # Forward -> inverse affine, padded-plane offset folded into the
+    # translation column.
+    bottom = jnp.broadcast_to(
+        jnp.asarray([[[0.0, 0.0, 1.0]]], images.dtype), (bsz, 1, 3)
+    )
+    ainv = jnp.linalg.inv(jnp.concatenate([affines, bottom], axis=1))
+    params = jnp.stack(
+        [
+            ainv[:, 0, 0], ainv[:, 0, 1], ainv[:, 0, 2] + PAD,
+            ainv[:, 1, 0], ainv[:, 1, 1], ainv[:, 1, 2] + PAD,
+            jnp.zeros((bsz,), images.dtype), jnp.zeros((bsz,), images.dtype),
+        ],
+        axis=-1,
+    ).astype(jnp.float32)  # [B, 8]
+
+    planes = jnp.moveaxis(images.astype(jnp.float32), -1, 1)  # [B, C, H, W]
+    padded = jnp.pad(
+        planes, ((0, 0), (0, 0), (PAD, PAD), (PAD, PAD)), mode="reflect"
+    )
+    hp, wp = h + 2 * PAD, w + 2 * PAD
+    w_pad = pl.cdiv(w, BLOCK_COLS) * BLOCK_COLS
+
+    out = pl.pallas_call(
+        functools.partial(_warp_plane_kernel, h=h, w=w, hp=hp, wp=wp),
+        grid=(bsz, ch),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 8), lambda b, c: (b, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, hp, wp), lambda b, c: (b, c, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, h, w), lambda b, c: (b, c, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, ch, h, w), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((h, w_pad), jnp.float32)],
+        interpret=interpret,
+    )(params, padded)
+
+    return jnp.moveaxis(out, 1, -1)

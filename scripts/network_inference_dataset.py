@@ -22,6 +22,22 @@ def network_inference_dataset(args):
     network_config_path = args.network_config or os.path.splitext(
         args.input_params_path
     )[0] + ".yaml"
+    if args.compute_dtype:
+        # Evaluate a checkpoint under a different compute dtype than it was
+        # trained with (params are float32 either way; this only changes the
+        # MXU conv precision) — e.g. f32 inference of a bf16-trained model.
+        import tempfile
+
+        from dream_tpu.utils.config import load_yaml, save_yaml
+
+        cfg = load_yaml(network_config_path)
+        cfg["architecture"]["compute_dtype"] = args.compute_dtype
+        tmp = tempfile.NamedTemporaryFile(
+            mode="w", suffix=".yaml", delete=False
+        )
+        tmp.close()
+        save_yaml(cfg, tmp.name, overwrite=True)
+        network_config_path = tmp.name
     dream_analysis.analyze_ndds_dataset(
         args.input_params_path,
         network_config_path,
@@ -82,4 +98,8 @@ if __name__ == "__main__":
                              "this many px after a first solve, then "
                              "re-refine (dream_tpu extension).")
     parser.add_argument("--no-visualization", action="store_true", default=False)
+    parser.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
+                        default=None,
+                        help="Override the checkpoint's compute dtype for "
+                             "inference (params are f32 regardless).")
     network_inference_dataset(parser.parse_args())

@@ -1,6 +1,8 @@
 """Data pipeline tests: dataset loading, device batch transform, augmentation
 keypoint tracking, loader determinism."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -242,3 +244,37 @@ def test_dataloader_abandoned_iteration_cleans_up(synth):
     while threading.active_count() > base and time.time() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= base
+
+
+def test_synthetic_domain_randomization(tmp_path):
+    """DR frames keep the exact same GT contract (projections/positions from
+    the same seed-pinned pose draw) while the pixels are randomized
+    (textures, distractors, occluders, lighting)."""
+    import json
+
+    plain_dir = str(tmp_path / "plain")
+    dr_dir = str(tmp_path / "dr")
+    dream_data.generate_synthetic_ndds(
+        plain_dir, n_frames=3, image_resolution=(160, 120), seed=13,
+        out_of_frame_fraction=0.0,
+    )
+    dream_data.generate_synthetic_ndds(
+        dr_dir, n_frames=3, image_resolution=(160, 120), seed=13,
+        out_of_frame_fraction=0.0, domain_randomization=True,
+    )
+    from PIL import Image
+
+    for i in range(3):
+        img_p = np.asarray(Image.open(os.path.join(plain_dir, f"{i:06d}.rgb.png")))
+        img_d = np.asarray(Image.open(os.path.join(dr_dir, f"{i:06d}.rgb.png")))
+        assert img_p.shape == img_d.shape == (120, 160, 3)
+        assert np.mean(np.abs(img_p.astype(float) - img_d)) > 1.0
+
+    # DR datasets load through the normal NDDS pipeline.
+    ds = dream_data.ManipulatorNDDSDataset(
+        dr_dir, "panda", dream_data.DEFAULT_KEYPOINT_NAMES,
+        (64, 64), (16, 16), None, "resize",
+    )
+    hb = ds.host_batch([0, 1, 2])
+    assert hb["image_rgb_raw"].shape == (3, 120, 160, 3)
+    assert np.isfinite(hb["keypoint_projections_raw"]).all()
