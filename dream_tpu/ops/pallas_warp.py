@@ -48,23 +48,36 @@ from jax.experimental.pallas import tpu as pltpu
 PAD = 112
 BLOCK_ROWS = 8
 BLOCK_COLS = 128
-WIN_ROWS = 48   # >= |c|*127 + |d|*7 + 2 for the supported affine range
-WIN_COLS = 152  # >= |a|*127 + |b|*7 + 2, rounded up to a multiple of 8
+# Mosaic requires dynamic-slice starts aligned to the tile grid (sublane
+# starts to 8, lane starts to 128), so window bases are rounded DOWN to that
+# grid and the windows carry the alignment slack on top of the geometric
+# span bound:
+WIN_ROWS = 56   # >= |c|*127 + |d|*7 + 2 (~46) + 8-alignment slack
+WIN_COLS = 280  # >= |a|*127 + |b|*7 + 2 (~144) + 128-alignment slack
+
+# The MXU's default pass truncates f32 inputs to bf16, which costs ~8
+# mantissa bits in the fractional hat weights (measured ~1.0 max error on
+# the 0-255 scale vs the gather path); multi-pass f32 emulation restores
+# parity.  Overridable for experiments via _DOT_PRECISION.
+import os as _os
+_DOT_PRECISION = getattr(
+    jax.lax.Precision, _os.environ.get("DREAM_WARP_DOT_PRECISION", "HIGHEST")
+)
 
 
 def _warp_plane_kernel(params_ref, in_ref, out_ref, scratch_ref, *, h, w, hp, wp):
     """Warp one padded [hp, wp] plane to an [h, w] output.
 
-    params_ref (SMEM, [1, 8]): inverse-affine row-major
+    params_ref (SMEM, [1, 1, 8]): inverse-affine row-major
     ``[a, b, tx, c, d, ty, 0, 0]`` with the +PAD offset folded into tx/ty:
     ``src_x = a*u + b*v + tx``, ``src_y = c*u + d*v + ty`` in padded coords.
     """
-    a = params_ref[0, 0]
-    b = params_ref[0, 1]
-    tx = params_ref[0, 2]
-    c = params_ref[0, 3]
-    d = params_ref[0, 4]
-    ty = params_ref[0, 5]
+    a = params_ref[0, 0, 0]
+    b = params_ref[0, 0, 1]
+    tx = params_ref[0, 0, 2]
+    c = params_ref[0, 0, 3]
+    d = params_ref[0, 0, 4]
+    ty = params_ref[0, 0, 5]
 
     n_rb = h // BLOCK_ROWS
     n_cb = pl.cdiv(w, BLOCK_COLS)
@@ -102,8 +115,20 @@ def _warp_plane_kernel(params_ref, in_ref, out_ref, scratch_ref, *, h, w, hp, wp
             jnp.minimum(c * u0f + d * v0f, c * u1f + d * v0f),
             jnp.minimum(c * u0f + d * v1f, c * u1f + d * v1f),
         ) + ty
-        kx0 = jnp.clip(jnp.floor(sx_min).astype(jnp.int32), 0, wp - WIN_COLS)
-        ky0 = jnp.clip(jnp.floor(sy_min).astype(jnp.int32), 0, hp - WIN_ROWS)
+        # Tile-aligned window bases (the clamp ceilings wp-WIN_COLS and
+        # hp-WIN_ROWS are themselves aligned by construction of the padded
+        # plane shape, so clamped bases stay aligned AND the clamped window
+        # still covers every tap an in-range output can request).
+        kx0 = jnp.clip(
+            (jnp.floor(sx_min).astype(jnp.int32) // 128) * 128,
+            0, wp - WIN_COLS,
+        )
+        ky0 = jnp.clip(
+            (jnp.floor(sy_min).astype(jnp.int32) // 8) * 8,
+            0, hp - WIN_ROWS,
+        )
+        kx0 = pl.multiple_of(kx0, 128)
+        ky0 = pl.multiple_of(ky0, 8)
 
         win = in_ref[0, 0, pl.ds(ky0, WIN_ROWS), pl.ds(kx0, WIN_COLS)]
 
@@ -113,19 +138,24 @@ def _warp_plane_kernel(params_ref, in_ref, out_ref, scratch_ref, *, h, w, hp, wp
         wx = jnp.maximum(
             0.0, 1.0 - jnp.abs(src_x - (kx0 + l_x).astype(jnp.float32))
         )
-        m = jnp.dot(win, wx, preferred_element_type=jnp.float32)
+        m = jnp.dot(
+            win, wx, preferred_element_type=jnp.float32,
+            precision=_DOT_PRECISION,
+        )
 
         # Vertical hat weights + VPU reduction over the window rows.
         src_y = c * (u0f + up_y) + d * (v0f + rp_y) + ty
         wy = jnp.maximum(
             0.0, 1.0 - jnp.abs(src_y - (ky0 + k_y).astype(jnp.float32))
         )
-        outp = jnp.sum(wy * m, axis=0)  # [1024]
+        outp = jnp.sum(wy * m, axis=0)  # [1024] = [BLOCK_ROWS * BLOCK_COLS]
 
-        for r in range(BLOCK_ROWS):
-            scratch_ref[v0 + r, pl.ds(u0, BLOCK_COLS)] = outp[
-                r * BLOCK_COLS : (r + 1) * BLOCK_COLS
-            ]
+        # One aligned (8, 128) block store (Mosaic rejects row stores at
+        # unaligned dynamic sublane offsets).
+        scratch_ref[
+            pl.ds(pl.multiple_of(v0, BLOCK_ROWS), BLOCK_ROWS),
+            pl.ds(pl.multiple_of(u0, BLOCK_COLS), BLOCK_COLS),
+        ] = outp.reshape(BLOCK_ROWS, BLOCK_COLS)
         return 0
 
     jax.lax.fori_loop(0, n_rb * n_cb, block, 0)
@@ -165,13 +195,24 @@ def warp_batch_pallas(images, affines, interpret: bool = False):
             jnp.zeros((bsz,), images.dtype), jnp.zeros((bsz,), images.dtype),
         ],
         axis=-1,
-    ).astype(jnp.float32)  # [B, 8]
+    ).astype(jnp.float32)[:, None, :]  # [B, 1, 8]
 
     planes = jnp.moveaxis(images.astype(jnp.float32), -1, 1)  # [B, C, H, W]
     padded = jnp.pad(
         planes, ((0, 0), (0, 0), (PAD, PAD), (PAD, PAD)), mode="reflect"
     )
-    hp, wp = h + 2 * PAD, w + 2 * PAD
+    # Extra zero padding (bottom/right, never sampled with nonzero weight)
+    # so the maximum clamped window base is tile-aligned AND its window
+    # reaches the end of the reflect-padded content: hp - WIN_ROWS must be a
+    # multiple of 8 and wp - WIN_COLS a multiple of 128, with hp/wp >= the
+    # reflect-padded extent.
+    y_max = h + 2 * PAD
+    x_max = w + 2 * PAD
+    hp = max(8 * (-(-(y_max - WIN_ROWS) // 8)) + WIN_ROWS, WIN_ROWS)
+    wp = max(128 * (-(-(x_max - WIN_COLS) // 128)) + WIN_COLS, WIN_COLS)
+    padded = jnp.pad(
+        padded, ((0, 0), (0, 0), (0, hp - y_max), (0, wp - x_max))
+    )
     w_pad = pl.cdiv(w, BLOCK_COLS) * BLOCK_COLS
 
     out = pl.pallas_call(
@@ -179,7 +220,7 @@ def warp_batch_pallas(images, affines, interpret: bool = False):
         grid=(bsz, ch),
         in_specs=[
             pl.BlockSpec(
-                (1, 8), lambda b, c: (b, 0), memory_space=pltpu.SMEM
+                (1, 1, 8), lambda b, c: (b, 0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
                 (1, 1, hp, wp), lambda b, c: (b, c, 0, 0),
