@@ -231,8 +231,18 @@ def _reproj_residuals(R, t, X, uv_norm, w):
     return (proj - uv_norm) * w[:, None]
 
 
-def _gauss_newton_pose(R0, t0, X, uv_norm, w, iters: int = 20, damping: float = 1e-9):
-    """Damped Gauss-Newton on (axis-angle, t); fixed trip count for jit."""
+def _gauss_newton_pose(R0, t0, X, uv_norm, w, iters: int = 30, damping: float = 1e-3):
+    """Levenberg-Marquardt on (axis-angle, t); fixed trip count for jit.
+
+    Adaptive damping is essential, not a nicety: a monotone Gauss-Newton
+    that merely REJECTS uphill steps (fixed tiny damping) stalls permanently
+    whenever the full GN step overshoots — measured reproj 8.6 px vs cv2's
+    1.2 px on a real frame (ADD 0.36 m vs 0.018 m).  LM with the classic
+    accept/decrease / reject-increase lambda schedule reaches cv2
+    SOLVEPNP_ITERATIVE's minimum exactly on those frames (this is the
+    algorithm cv2's ITERATIVE refinement runs, reference
+    dream/geometric_vision.py:94-104).
+    """
     r0 = axis_angle_from_rotation_matrix(R0)
     params0 = jnp.concatenate([r0, t0])
 
@@ -240,19 +250,28 @@ def _gauss_newton_pose(R0, t0, X, uv_norm, w, iters: int = 20, damping: float = 
         R = rotation_matrix_from_axis_angle(params[:3])
         return _reproj_residuals(R, params[3:], X, uv_norm, w).reshape(-1)
 
-    def step(params, _):
+    def step(carry, _):
+        params, lam, cost = carry
         res = residual_fn(params)
         J = jax.jacfwd(residual_fn)(params)  # [2N, 6]
-        JtJ = J.T @ J + damping * jnp.eye(6)
+        JtJ = J.T @ J + lam * jnp.eye(6)
         delta = jnp.linalg.solve(JtJ, J.T @ res)
-        new_params = params - delta
-        # Reject steps that increase the cost (keeps GN monotone/robust).
-        new_cost = jnp.sum(residual_fn(new_params) ** 2)
-        old_cost = jnp.sum(res ** 2)
-        params = jnp.where(new_cost < old_cost, new_params, params)
-        return params, None
+        cand = params - delta
+        cand_cost = jnp.sum(residual_fn(cand) ** 2)
+        accept = cand_cost < cost
+        params = jnp.where(accept, cand, params)
+        cost = jnp.where(accept, cand_cost, cost)
+        lam = jnp.where(
+            accept,
+            jnp.maximum(lam / 3.0, 1e-12),
+            jnp.minimum(lam * 10.0, 1e6),
+        )
+        return (params, lam, cost), None
 
-    params, _ = jax.lax.scan(step, params0, None, length=iters)
+    cost0 = jnp.sum(residual_fn(params0) ** 2)
+    (params, _, _), _ = jax.lax.scan(
+        step, (params0, jnp.asarray(damping), cost0), None, length=iters
+    )
     return rotation_matrix_from_axis_angle(params[:3]), params[3:]
 
 
