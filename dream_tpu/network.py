@@ -458,6 +458,28 @@ class DreamNetwork:
             process_local_batch(self._mesh, a) for a in arrays
         )
 
+    def enable_ema(self, decay: float):
+        """Maintain an exponential moving average of the parameters.
+
+        The EMA update runs INSIDE the fused/scanned training dispatch (one
+        multiply-add per parameter per step — free next to the backward
+        pass), so long scanned epochs never materialize intermediate
+        snapshots.  ``ema_variables()`` returns the model with the averaged
+        weights swapped in; the trainer checkpoints it as
+        ``best_network_ema.*``.  dream_tpu extension (no reference
+        counterpart); call BEFORE enable_fused/scanned_training.
+        """
+        assert 0.0 < decay < 1.0, decay
+        self.init_variables()
+        self.ema_decay = float(decay)
+        self.ema_params = jax.tree_util.tree_map(
+            jnp.array, self.variables["params"]
+        )
+
+    def ema_variables(self):
+        assert getattr(self, "ema_params", None) is not None
+        return dict(self.variables, params=self.ema_params)
+
     def enable_fused_training(self, batch_processor):
         """Fuse the device-side batch processor into the train step.
 
@@ -472,9 +494,11 @@ class DreamNetwork:
         self.enable_training()
 
         optimizer = self.optimizer
+        ema_decay = getattr(self, "ema_decay", None)
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def fused_step(variables, opt_state, key, raw_images, kp_projs_raw):
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def fused_step(variables, opt_state, ema_params, key, raw_images,
+                       kp_projs_raw):
             batch = batch_processor(key, raw_images, kp_projs_raw)
 
             def compute(params):
@@ -495,7 +519,12 @@ class DreamNetwork:
             new_vars = dict(variables, params=params)
             if new_batch_stats is not None:
                 new_vars["batch_stats"] = new_batch_stats
-            return new_vars, opt_state, loss
+            if ema_decay is not None:
+                ema_params = jax.tree_util.tree_map(
+                    lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+                    ema_params, params,
+                )
+            return new_vars, opt_state, ema_params, loss
 
         self._fused_train_step = fused_step
 
@@ -513,13 +542,15 @@ class DreamNetwork:
         """
         self.enable_fused_training(batch_processor)
         optimizer = self.optimizer
+        ema_decay = getattr(self, "ema_decay", None)
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def epoch_fn(variables, opt_state, key, images_ref, kp_ref, idx):
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def epoch_fn(variables, opt_state, ema_params, key, images_ref,
+                     kp_ref, idx):
             keys = jax.random.split(key, idx.shape[0])
 
             def body(carry, xs):
-                variables, opt_state = carry
+                variables, opt_state, ema_params = carry
                 sel, step_key = xs
                 batch = batch_processor(
                     step_key,
@@ -544,12 +575,17 @@ class DreamNetwork:
                 new_vars = dict(variables, params=params)
                 if new_bs is not None:
                     new_vars["batch_stats"] = new_bs
-                return (new_vars, opt_state), loss
+                if ema_decay is not None:
+                    ema_params = jax.tree_util.tree_map(
+                        lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+                        ema_params, params,
+                    )
+                return (new_vars, opt_state, ema_params), loss
 
-            (variables, opt_state), losses = jax.lax.scan(
-                body, (variables, opt_state), (idx, keys)
+            (variables, opt_state, ema_params), losses = jax.lax.scan(
+                body, (variables, opt_state, ema_params), (idx, keys)
             )
-            return variables, opt_state, losses
+            return variables, opt_state, ema_params, losses
 
         self._scanned_epoch = epoch_fn
 
@@ -560,8 +596,11 @@ class DreamNetwork:
         assert hasattr(self, "_scanned_epoch"), (
             "Call enable_scanned_training(batch_processor) first."
         )
-        self.variables, self.opt_state, losses = self._scanned_epoch(
-            self.variables, self.opt_state, key, images_ref, kp_projs_ref,
+        (
+            self.variables, self.opt_state, self.ema_params, losses,
+        ) = self._scanned_epoch(
+            self.variables, self.opt_state,
+            getattr(self, "ema_params", None), key, images_ref, kp_projs_ref,
             jnp.asarray(index_matrix, dtype=jnp.int32),
         )
         return losses
@@ -574,8 +613,11 @@ class DreamNetwork:
         raw_images, kp_projs_raw = self._shard_batch(
             jnp.asarray(raw_images), jnp.asarray(kp_projs_raw)
         )
-        self.variables, self.opt_state, loss = self._fused_train_step(
-            self.variables, self.opt_state, key, raw_images, kp_projs_raw
+        (
+            self.variables, self.opt_state, self.ema_params, loss,
+        ) = self._fused_train_step(
+            self.variables, self.opt_state,
+            getattr(self, "ema_params", None), key, raw_images, kp_projs_raw,
         )
         return loss
 
@@ -593,12 +635,19 @@ class DreamNetwork:
         )
         return loss
 
-    def loss(self, network_input_heads, target):
-        """Evaluation loss (no gradient; reference dream/network.py:340-364)."""
+    def loss(self, network_input_heads, target, variables=None):
+        """Evaluation loss (no gradient; reference dream/network.py:340-364).
+
+        ``variables`` overrides the model variables (e.g. the EMA snapshot
+        from :meth:`ema_variables`) without touching the training state.
+        """
         self.init_variables()
         if not hasattr(self, "_eval_loss"):
             self._eval_loss = self._build_eval_loss()
-        return self._eval_loss(self.variables, network_input_heads[0], target)
+        return self._eval_loss(
+            self.variables if variables is None else variables,
+            network_input_heads[0], target,
+        )
 
     def enable_evaluation(self):
         """Inference mode (reference dream/network.py:693-696).  flax models

@@ -51,7 +51,7 @@ from dream_tpu.utils import (
 
 
 def _write_checkpoint(output_dir, stem, config, variables, opt_state=None,
-                      delete_stale_before=None):
+                      delete_stale_before=None, ema_variables=None):
     """Disk half of a checkpoint (runs on the async writer thread)."""
     save_yaml(config, os.path.join(output_dir, stem + ".yaml"), overwrite=True)
     with open(os.path.join(output_dir, stem + ".msgpack"), "wb") as f:
@@ -59,11 +59,17 @@ def _write_checkpoint(output_dir, stem, config, variables, opt_state=None,
     if opt_state is not None:
         with open(os.path.join(output_dir, stem + ".opt.msgpack"), "wb") as f:
             f.write(serialization.to_bytes(opt_state))
+    if ema_variables is not None:
+        # Full variables dict with the EMA params swapped in, loadable by
+        # every inference/eval CLI like any other checkpoint.
+        with open(os.path.join(output_dir, stem + ".ema.msgpack"), "wb") as f:
+            f.write(serialization.to_bytes(ema_variables))
     if delete_stale_before is not None:
         for old_epoch in range(1, delete_stale_before):
             prev = os.path.join(output_dir, f"epoch_{old_epoch}.msgpack")
             for stale in [prev, prev.replace(".msgpack", ".yaml"),
-                          prev.replace(".msgpack", ".opt.msgpack")]:
+                          prev.replace(".msgpack", ".opt.msgpack"),
+                          prev.replace(".msgpack", ".ema.msgpack")]:
                 if os.path.exists(stale):
                     os.remove(stale)
 
@@ -196,6 +202,11 @@ def train_network(args):
             "random_seed": random_seed,
         }
         best_valid_loss = float("inf")
+
+    # Best-EMA tracking always restarts from scratch on resume (the prior
+    # best EMA loss isn't recorded in the config; best_network_ema.* only
+    # improves monotonically within a run).
+    best_ema_valid_loss = float("inf")
 
     set_random_seed(random_seed)
     enable_augment_data = not args.not_augment_data
@@ -422,6 +433,26 @@ def train_network(args):
         and process_count == 1
         and args.mesh_data * args.mesh_model == 1
     )
+    # Parameter EMA (dream_tpu extension): the shadow average updates inside
+    # the training dispatch; the best EMA snapshot (by its own validation
+    # loss) is checkpointed as best_network_ema.* — must be enabled before
+    # the train-step builders close over it.
+    if args.ema_decay is not None:
+        dream_network.enable_ema(args.ema_decay)
+        if args.resume_training:
+            ema_path = os.path.join(
+                args.output_dir,
+                most_recent_epoch_params_path.replace(
+                    ".msgpack", ".ema.msgpack"
+                ),
+            )
+            if os.path.exists(ema_path):
+                with open(ema_path, "rb") as f:
+                    dream_network.ema_params = serialization.from_bytes(
+                        dream_network.ema_params, f.read()
+                    )
+                print("Restored EMA parameters.")
+        print(f"Parameter EMA enabled (decay {args.ema_decay}).")
     if scan_epochs:
         dream_network.enable_scanned_training(process_train)
         print("Scanned-epoch training: one device dispatch per epoch.")
@@ -507,7 +538,13 @@ def train_network(args):
         )
         valid_batch_losses = []
         valid_batch_sample_names = []
+        ema_batch_losses = []
+        mean_ema_valid_loss = float("nan")
         if run_validation:
+            ema_vars = (
+                dream_network.ema_variables()
+                if args.ema_decay is not None else None
+            )
             for host_batch in valid_loader:
                 batch = process_valid(
                     jax.random.PRNGKey(0),
@@ -518,6 +555,13 @@ def train_network(args):
                     [batch["image_rgb_input"]], batch["belief_maps"]
                 )
                 valid_batch_losses.append(vloss)
+                if ema_vars is not None:
+                    ema_batch_losses.append(
+                        dream_network.loss(
+                            [batch["image_rgb_input"]], batch["belief_maps"],
+                            variables=ema_vars,
+                        )
+                    )
                 valid_batch_sample_names.append(
                     dataset.sample_names(host_batch["indices"])
                 )
@@ -526,6 +570,10 @@ def train_network(args):
             ]
             mean_valid_loss = float(np.mean(valid_batch_losses))
             std_valid_loss = float(np.std(valid_batch_losses))
+            if ema_batch_losses:
+                mean_ema_valid_loss = float(
+                    np.mean([float(x) for x in jax.device_get(ema_batch_losses)])
+                )
         else:
             mean_valid_loss = float("nan")
             std_valid_loss = float("nan")
@@ -562,6 +610,17 @@ def train_network(args):
                     copy.deepcopy(dream_network.network_config),
                     jax.device_get(dream_network.variables),
                 )
+        if run_validation and args.ema_decay is not None:
+            print(f"EMA Validation Loss (batch-wise mean): {mean_ema_valid_loss}")
+            if mean_ema_valid_loss < best_ema_valid_loss:
+                print("Best EMA network result so far.")
+                best_ema_valid_loss = mean_ema_valid_loss
+                if save_results:
+                    ckpt_writer.submit(
+                        _write_checkpoint, args.output_dir, "best_network_ema",
+                        copy.deepcopy(dream_network.network_config),
+                        jax.device_get(dream_network.ema_variables()),
+                    )
 
         if args.profile_dir and e == start_epoch + 1:
             jax.profiler.stop_trace()
@@ -601,6 +660,10 @@ def train_network(args):
                     jax.device_get(dream_network.variables),
                     jax.device_get(dream_network.opt_state),
                     this_epoch,
+                    (
+                        jax.device_get(dream_network.ema_variables())
+                        if args.ema_decay is not None else None
+                    ),
                 )
 
     ckpt_writer.wait()
@@ -658,6 +721,11 @@ def make_parser():
     parser.add_argument("--checkpoint-every", type=int, default=1,
                         help="Save epoch_N checkpoints every N epochs "
                              "(best_network is always saved when improved).")
+    parser.add_argument("--ema-decay", type=float, default=None,
+                        help="Maintain a per-step parameter EMA with this "
+                             "decay (e.g. 0.999); checkpoints the best EMA "
+                             "snapshot (by its own validation loss) as "
+                             "best_network_ema.*")
     parser.add_argument("--valid-every", type=int, default=1,
                         help="Run the validation pass every N epochs (the "
                              "final epoch always validates). 1 == reference "

@@ -168,6 +168,51 @@ def test_train_cache_device_valid_every(env):
     assert np.isfinite(log["validation_losses"][2])
 
 
+def test_train_ema_checkpoints(env):
+    """--ema-decay: the per-step parameter EMA (updated inside the scanned
+    dispatch) is validated on its own loss and checkpointed as
+    best_network_ema.* / epoch_N.ema.msgpack, loadable like any checkpoint."""
+    from flax import serialization
+    import jax
+
+    from train_network import make_parser, train_network
+
+    out_dir = str(env["root"] / "train_ema")
+    args = make_parser().parse_args([
+        "-i", env["data"], "-m", env["manip"], "-ar", env["arch"],
+        "-e", "3", "-b", "4", "-o", out_dir, "-s", "7", "-w", "2",
+        "-not-a", "--cache-device", "--ema-decay", "0.9",
+        "--checkpoint-every", "3",
+    ])
+    net = train_network(args)
+
+    files = set(os.listdir(out_dir))
+    assert "best_network_ema.msgpack" in files
+    assert "epoch_3.ema.msgpack" in files
+
+    # EMA params: same tree, values between init and final (not equal to
+    # the raw params, but converging toward them).
+    raw = jax.device_get(net.variables)
+    with open(os.path.join(out_dir, "epoch_3.ema.msgpack"), "rb") as f:
+        ema = serialization.from_bytes(raw, f.read())
+    raw_l = jax.tree_util.tree_leaves(raw["params"])
+    ema_l = jax.tree_util.tree_leaves(ema["params"])
+    assert len(raw_l) == len(ema_l)
+    assert any(
+        float(np.abs(np.asarray(r) - np.asarray(e)).max()) > 0
+        for r, e in zip(raw_l, ema_l)
+    ), "EMA equals raw params (update not applied?)"
+
+    # The EMA checkpoint drives inference like any other.
+    from dream_tpu.network import create_network_from_config_file
+    net2 = create_network_from_config_file(
+        os.path.join(out_dir, "best_network.yaml"),
+        os.path.join(out_dir, "best_network_ema.msgpack"),
+    )
+    result = net2.keypoints_from_image(np.zeros((120, 160, 3), np.uint8))
+    assert result["detected_keypoints"].shape == (7, 2)
+
+
 def test_analyze_ransac_and_robust_pnp_paths(env):
     """End-to-end analysis with --ransac and the robust-PnP extensions.
 
