@@ -444,37 +444,62 @@ def solve_pnp(
             return jnp.sqrt(jnp.sum((res_ * jnp.array([fx, fy])) ** 2, axis=1))
 
         if reject_outliers_px is not None:
-            # Deterministic robustifier: iteratively drop the WORST-
-            # reprojecting point and RE-SOLVE FROM SCRATCH, while the worst
-            # error exceeds the threshold and >4 points remain.  A single
-            # thresholding pass is not enough — one gross outlier drags the
-            # least-squares fit so every residual exceeds the threshold; and
-            # a GN-only re-refine from the dragged pose stays in its basin
-            # (the full EPnP+multi-start re-solve is ~10x better on such
-            # frames).  Fixed trip count (3) keeps it jittable; with <=3
-            # rejections and the >=4-point floor this covers the reference's
-            # 7-17-keypoint robots.
+            # Deterministic robustifier via LEAVE-ONE-OUT influence: while
+            # the worst residual exceeds the threshold and >4 points remain,
+            # re-solve FROM SCRATCH once per candidate point (vmapped) and
+            # drop the point whose removal leaves the best remaining fit.
+            # Selecting by worst RESIDUAL instead is wrong on exactly the
+            # frames that matter: a gross outlier drags the least-squares
+            # pose until a GOOD point reprojects worst (measured: outlier at
+            # 22.6 px, good point at 34.1 px on a real frame), so
+            # argmax-residual evicts good points and makes the pose WORSE.
+            # LOO costs N extra solves per trip — all vmapped, negligible
+            # next to the model.  Fixed trip count (3) keeps it jittable;
+            # with <=3 rejections and the >=4-point floor this covers the
+            # reference's 7-17-keypoint robots.  (No reference analog;
+            # RANSAC is the reference's only outlier story,
+            # dream/geometric_vision.py:116-180.)
+            n_pts = w.shape[0]
+            px_scale = jnp.array([fx, fy])
+
+            def _loo_solve(i, w_cur):
+                w_i = w_cur * (1.0 - jax.nn.one_hot(i, n_pts))
+                R_i, t_i = _solve_core(
+                    Xs, uv_norm, w_i, refinement, gn_iters, multi_start
+                )
+                res_i = _reproj_residuals(
+                    R_i, t_i, Xs, uv_norm, (w_i > 0).astype(jnp.float32)
+                )
+                px = jnp.sqrt(jnp.sum((res_i * px_scale) ** 2, axis=1))
+                cost = jnp.max(jnp.where(w_i > 0, px, 0.0))
+                # Never "drop" an already-invalid point.
+                return R_i, t_i, jnp.where(w_cur[i] > 0, cost, jnp.inf)
+
             w_cur = w
             R_cur, t_cur = R, t
             for _ in range(3):
                 err_i = _px_errors(R_cur, t_cur)
-                masked_err = jnp.where(w_cur > 0, err_i, -jnp.inf)
-                worst = jnp.argmax(masked_err)
-                do_drop = (masked_err[worst] > reject_outliers_px) & (
+                worst_err = jnp.max(jnp.where(w_cur > 0, err_i, -jnp.inf))
+                do_drop = (worst_err > reject_outliers_px) & (
                     jnp.sum(w_cur > 0) > 4
                 )
-                w_new = jnp.where(
+                R_all, t_all, costs = jax.vmap(
+                    lambda i: _loo_solve(i, w_cur)
+                )(jnp.arange(n_pts))
+                best_i = jnp.argmin(costs)
+                R_cur = jnp.where(do_drop, R_all[best_i], R_cur)
+                t_cur = jnp.where(do_drop, t_all[best_i], t_cur)
+                w_cur = jnp.where(
                     do_drop,
-                    w_cur * (1.0 - jax.nn.one_hot(worst, w.shape[0])),
+                    w_cur * (1.0 - jax.nn.one_hot(best_i, n_pts)),
                     w_cur,
                 )
-                R2, t2 = _solve_core(
-                    Xs, uv_norm, w_new, refinement, gn_iters, multi_start
-                )
-                R_cur = jnp.where(do_drop, R2, R_cur)
-                t_cur = jnp.where(do_drop, t2, t_cur)
-                w_cur = jnp.where(do_drop, w_new, w_cur)
             R, t = R_cur, t_cur
+            # The returned error describes the fit actually produced: only
+            # surviving correspondences count (a dropped outlier's residual
+            # would otherwise trip downstream reproj-error pose gates,
+            # e.g. serve.py --max-reproj-err-px, on a good pose).
+            valid_mask = (w_cur > 0).astype(jnp.float32)
 
         err = _px_errors(R, t)
         mean_err = jnp.sum(err * valid_mask) / (jnp.sum(valid_mask) + _EPS)

@@ -355,3 +355,51 @@ def test_solve_pnp_lm_escapes_gauss_newton_stall():
     np.testing.assert_allclose(
         np.asarray(result.translation), tvec2.ravel(), atol=2e-3
     )
+
+
+def test_solve_pnp_loo_rejection_finds_true_outlier():
+    """Regression: a real evaluation frame where the base keypoint is
+    detected 123 px off while the other six are sub-pixel.  Under the
+    outlier-dragged least-squares pose the WORST residual lands on a GOOD
+    point (34.1 px) rather than the outlier (22.6 px), so a reject-the-
+    worst-residual strategy evicts a good point and makes the pose worse
+    (measured ADD 0.51 -> 0.70 m).  The leave-one-out influence selection
+    must identify the true outlier and recover the pose."""
+    X = np.array([
+        [-0.582183, -0.024239, 1.45003],
+        [-0.350126, 0.163972, 1.423087],
+        [-0.172748, 0.272193, 1.47988],
+        [0.005633, 0.303005, 1.56131],
+        [0.091958, 0.24579, 1.682448],
+        [0.07749, 0.165342, 1.775285],
+        [0.036982, 0.06506, 1.839338],
+    ], np.float32)
+    uv = np.array([
+        [166.107, 310.973],  # true location (73.3, 229.7): 123 px outlier
+        [168.668, 310.267],
+        [247.476, 352.227],
+        [322.945, 358.944],
+        [353.389, 330.619],
+        [346.427, 296.691],
+        [332.318, 261.746],
+    ], np.float32)
+    K = np.array([[614.4, 0.0, 320.0], [0.0, 614.4, 240.0], [0.0, 0.0, 1.0]],
+                 np.float32)
+
+    plain = gv.solve_pnp(jnp.asarray(X), jnp.asarray(uv), jnp.asarray(K))
+    robust = gv.solve_pnp(
+        jnp.asarray(X), jnp.asarray(uv), jnp.asarray(K),
+        reject_outliers_px=5.0,
+    )
+    assert bool(plain.valid) and bool(robust.valid)
+    add_plain = float(gv.add_from_pose(
+        plain.translation, plain.quaternion, jnp.asarray(X)
+    ))
+    add_robust = float(gv.add_from_pose(
+        robust.translation, robust.quaternion, jnp.asarray(X)
+    ))
+    assert add_plain > 0.1  # the outlier genuinely wrecks the plain solve
+    assert add_robust < 0.02, f"LOO rejection failed: ADD {add_robust:.3f} m"
+    # Post-rejection reproj_error describes the surviving fit only (the
+    # serving pose gate consumes it).
+    assert float(robust.reproj_error) < 2.0
