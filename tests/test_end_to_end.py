@@ -253,3 +253,54 @@ def test_analyze_ransac_and_robust_pnp_paths(env):
     for result in (pnp_plain, pnp_ransac, pnp_robust, pnp_soft):
         assert result["num_pnp_possible"] == pnp_plain["num_pnp_possible"]
         assert 0.0 <= result["add_auc"] <= 1.0
+
+
+def test_resolve_pnp_offline_cli(env):
+    """scripts/resolve_pnp.py recomputes the PnP stage from a keypoints.csv
+    without re-running inference: detections synthesized from dataset GT
+    (plus one gross outlier) must produce near-perfect ADD with LOO
+    rejection and a written pnp_results.csv."""
+    from dream_tpu.analysis import write_keypoint_csv
+    from dream_tpu.utils.ndds import find_ndds_data_in_dir, load_keypoints
+    from resolve_pnp import make_parser as resolve_parser, resolve_pnp
+
+    found = find_ndds_data_in_dir(env["data"])
+    names, det, gt = [], [], []
+    keypoint_names = [
+        "panda_link0", "panda_link2", "panda_link3", "panda_link4",
+        "panda_link6", "panda_link7", "panda_hand",
+    ]
+    rng = np.random.RandomState(0)
+    for s in found[0]:
+        kp = load_keypoints(s["data_path"], "panda", keypoint_names)
+        proj = np.asarray(kp["projections"], np.float32)
+        noisy = proj + rng.randn(*proj.shape).astype(np.float32) * 0.3
+        noisy[0] += 40.0  # one gross outlier per frame
+        names.append(s["name"])
+        det.append(noisy)
+        gt.append(proj)
+
+    out_root = env["root"] / "resolve_pnp"
+    os.makedirs(out_root, exist_ok=True)
+    kcsv = str(out_root / "keypoints.csv")
+    write_keypoint_csv(kcsv, names, np.array(det), np.array(gt))
+
+    base = [
+        "-k", kcsv, "-d", env["data"],
+        "-m", env["manip"],
+    ]
+    plain = resolve_pnp(resolve_parser().parse_args(
+        base + ["-o", str(out_root / "plain")]
+    ))
+    robust = resolve_pnp(resolve_parser().parse_args(
+        base + ["-o", str(out_root / "robust"), "--pnp-reject-outliers-px", "5"]
+    ))
+    assert os.path.exists(out_root / "plain" / "pnp_results.csv")
+    assert os.path.exists(out_root / "robust" / "pnp_resolve_results.txt")
+    assert robust["num_pnp_found"] == robust["num_pnp_possible"]
+    # LOO rejection must remove the planted outlier's influence.
+    assert robust["add_auc"] > plain["add_auc"]
+    # 0.3 px detection noise at 160x120 (short focal length) bounds the
+    # achievable ADD; the planted 40 px outlier must not dominate it.
+    assert robust["add_mean"] < 0.03, robust["add_mean"]
+    assert robust["add_mean"] < 0.5 * plain["add_mean"]
