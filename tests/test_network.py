@@ -380,3 +380,46 @@ def test_mixed_precision_training():
     assert np.all(np.isfinite(losses_bf16))
     # bf16 training makes comparable progress (same order of magnitude).
     assert losses_bf16.mean() < 3.0 * losses_f32.mean() + 1e-6
+
+
+def test_fused_training_ema_update():
+    """enable_ema + the fused per-step path: the EMA shadow moves toward the
+    raw parameters with the configured decay (the e2e test covers the
+    scanned-epoch path; this pins train_raw)."""
+    import dream_tpu.data as dream_data
+
+    cfg = _vgg_config()
+    net = DreamNetwork(cfg)
+    net.init_variables(seed=9)
+
+    processor = dream_data.make_batch_processor(
+        (128, 96), (64, 64), (16, 16), "shrink-and-crop",
+        cfg["architecture"]["image_normalization"],
+        augment=False, include_belief_maps=True,
+    )
+    net.enable_ema(0.5)
+    net.enable_fused_training(processor)
+
+    ema_before = jax.tree_util.tree_map(np.asarray, net.ema_params)
+
+    rng = np.random.RandomState(0)
+    raw = jnp.asarray(rng.randint(0, 255, (2, 96, 128, 3), dtype=np.uint8))
+    kp_raw = jnp.asarray(rng.uniform(20, 100, (2, 4, 2)).astype(np.float32))
+    net.train_raw(jax.random.PRNGKey(0), raw, kp_raw)
+
+    # One step at decay 0.5: ema' = 0.5*ema0 + 0.5*params1.
+    leaves_e0 = jax.tree_util.tree_leaves(ema_before)
+    leaves_e1 = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(np.asarray, net.ema_params)
+    )
+    leaves_p1 = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(np.asarray, net.variables["params"])
+    )
+    for e0, e1, p1 in zip(leaves_e0, leaves_e1, leaves_p1):
+        np.testing.assert_allclose(e1, 0.5 * e0 + 0.5 * p1, atol=1e-6)
+
+    # ema_variables() swaps the averaged params in and is loss-evaluable.
+    batch = processor(jax.random.PRNGKey(0), raw, kp_raw)
+    loss = float(net.loss([batch["image_rgb_input"]], batch["belief_maps"],
+                          variables=net.ema_variables()))
+    assert np.isfinite(loss)
