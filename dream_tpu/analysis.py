@@ -274,6 +274,7 @@ def analyze_ndds_dataset(
     pnp_reject_outliers_px: Optional[float] = None,
     pnp_soft_detections: bool = False,
     pnp_soft_min_score: float = 0.05,
+    int8_calibration_frames: int = 0,
 ):
     """Run inference over an NDDS dataset; write keypoints.csv,
     pnp_results.csv, analysis_results.txt, and sample mosaics.
@@ -366,6 +367,27 @@ def analyze_ndds_dataset(
     sample_results = []
     sample_names_all: List[str] = []
     sample_idx = 0
+
+    if int8_calibration_frames:
+        # Quantize the conv stack to int8 (2x MXU rate on v5e), calibrating
+        # activation scales on the first N frames of this dataset
+        # (dream_tpu extension — see DreamNetwork.enable_int8_inference).
+        print(f"Calibrating int8 inference on {int8_calibration_frames} frames...")
+        calib_batches = []
+        n_calib = 0
+        for host_batch in dream_data.DataLoader(
+            dataset, batch_size, shuffle=False, drop_last=False
+        ):
+            b = process(
+                jax.random.PRNGKey(0),
+                jnp.asarray(host_batch["image_rgb_raw"]),
+                jnp.asarray(host_batch["keypoint_projections_raw"]),
+            )
+            calib_batches.append(b["image_rgb_input"])
+            n_calib += int(b["image_rgb_input"].shape[0])
+            if n_calib >= int8_calibration_frames:
+                break
+        dream_network.enable_int8_inference(calib_batches)
 
     print("Conducting inference...")
     for host_batch in loader:

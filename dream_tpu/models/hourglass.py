@@ -29,7 +29,16 @@ from dream_tpu.models.layers import (
     max_pool_torch,
     upsample_nearest,
 )
+from dream_tpu.models.quant import quant_conv3x3
 from dream_tpu.ops.spatial_softmax import soft_argmax
+
+
+def _conv3x3(features, name, dtype, quant_mode):
+    """3x3 conv; int8-quantizable when a quant_mode is threaded through
+    (post-training quantization, see models/quant.py — no reference analog)."""
+    if quant_mode:
+        return quant_conv3x3(features, name=name, mode=quant_mode, dtype=dtype)
+    return conv3x3(features, name=name, dtype=dtype)
 
 
 class _VggDownBlock(nn.Module):
@@ -38,11 +47,14 @@ class _VggDownBlock(nn.Module):
     features: int
     n_convs: int
     dtype: Any = jnp.float32
+    quant_mode: Any = None
 
     @nn.compact
     def __call__(self, x):
         for i in range(self.n_convs):
-            x = nn.relu(conv3x3(self.features, name=f"conv{i}", dtype=self.dtype)(x))
+            x = nn.relu(
+                _conv3x3(self.features, f"conv{i}", self.dtype, self.quant_mode)(x)
+            )
         return x
 
 
@@ -76,12 +88,15 @@ class _UpsampleBlock(nn.Module):
     mid_features: int
     out_features: int
     dtype: Any = jnp.float32
+    quant_mode: Any = None
 
     @nn.compact
     def __call__(self, x):
         x = upsample_nearest(x, 2)
-        x = nn.relu(conv3x3(self.mid_features, name="conv0", dtype=self.dtype)(x))
-        return conv3x3(self.out_features, name="conv1", dtype=self.dtype)(x)
+        x = nn.relu(
+            _conv3x3(self.mid_features, "conv0", self.dtype, self.quant_mode)(x)
+        )
+        return _conv3x3(self.out_features, "conv1", self.dtype, self.quant_mode)(x)
 
 
 class _UpsampleBlockFull(nn.Module):
@@ -90,12 +105,17 @@ class _UpsampleBlockFull(nn.Module):
 
     features: int
     dtype: Any = jnp.float32
+    quant_mode: Any = None
 
     @nn.compact
     def __call__(self, x):
         x = upsample_nearest(x, 2)
-        x = nn.relu(conv3x3(self.features, name="conv0", dtype=self.dtype)(x))
-        return nn.relu(conv3x3(self.features, name="conv1", dtype=self.dtype)(x))
+        x = nn.relu(
+            _conv3x3(self.features, "conv0", self.dtype, self.quant_mode)(x)
+        )
+        return nn.relu(
+            _conv3x3(self.features, "conv1", self.dtype, self.quant_mode)(x)
+        )
 
 
 class _BeliefHead(nn.Module):
@@ -103,11 +123,15 @@ class _BeliefHead(nn.Module):
 
     n_keypoints: int
     dtype: Any = jnp.float32
+    quant_mode: Any = None
 
     @nn.compact
     def __call__(self, x):
-        x = nn.relu(conv3x3(64, name="conv0", dtype=self.dtype)(x))
-        x = nn.relu(conv3x3(32, name="conv1", dtype=self.dtype)(x))
+        x = nn.relu(_conv3x3(64, "conv0", self.dtype, self.quant_mode)(x))
+        x = nn.relu(_conv3x3(32, "conv1", self.dtype, self.quant_mode)(x))
+        # conv2 (the belief-map output layer) stays in the float compute
+        # dtype under quantization: its output is read at subpixel
+        # resolution by the peak decoder.
         # Belief maps return in float32 for stable loss/decode regardless of
         # the compute dtype.
         return conv3x3(self.n_keypoints, name="conv2", dtype=self.dtype)(x).astype(
@@ -133,20 +157,26 @@ class DreamHourglass(nn.Module):
     deconv_decoder: bool = False
     full_output: bool = False
     dtype: Any = jnp.float32
+    # Post-training int8 quantization mode (None | 'calibrate' | 'int8');
+    # quantizes every 3x3 conv except the belief-map output layer.  The
+    # deconv decoder variant keeps its transposed convs in float (vgg-F
+    # only; the fractionally-strided taps would need zero-aware scales).
+    quant_mode: Any = None
 
     @nn.compact
     def __call__(self, x):
+        q = self.quant_mode
         # Encoder: VGG19 feature slices (reference dream/models.py:587-615).
         x = x.astype(self.dtype)
-        x_0_1 = _VggDownBlock(64, 2, name="down1", dtype=self.dtype)(x)
+        x_0_1 = _VggDownBlock(64, 2, name="down1", dtype=self.dtype, quant_mode=q)(x)
         x_0_1_d = max_pool_torch(x_0_1)
-        x_0_2 = _VggDownBlock(128, 2, name="down2", dtype=self.dtype)(x_0_1_d)
+        x_0_2 = _VggDownBlock(128, 2, name="down2", dtype=self.dtype, quant_mode=q)(x_0_1_d)
         x_0_2_d = max_pool_torch(x_0_2)
-        x_0_3 = _VggDownBlock(256, 4, name="down3", dtype=self.dtype)(x_0_2_d)
+        x_0_3 = _VggDownBlock(256, 4, name="down3", dtype=self.dtype, quant_mode=q)(x_0_2_d)
         x_0_3_d = max_pool_torch(x_0_3)
-        x_0_4 = _VggDownBlock(512, 4, name="down4", dtype=self.dtype)(x_0_3_d)
+        x_0_4 = _VggDownBlock(512, 4, name="down4", dtype=self.dtype, quant_mode=q)(x_0_3_d)
         x_0_4_d = max_pool_torch(x_0_4)
-        x_0_5 = _VggDownBlock(512, 4, name="down5", dtype=self.dtype)(x_0_4_d)
+        x_0_5 = _VggDownBlock(512, 4, name="down5", dtype=self.dtype, quant_mode=q)(x_0_4_d)
 
         decoder_input = x_0_5 + x_0_4_d if self.skip_connections else x_0_5
 
@@ -163,16 +193,16 @@ class DreamHourglass(nn.Module):
             )
             head_in = y + x_0_1 if self.skip_connections else y
         else:
-            y = _UpsampleBlock(256, 256, name="upsample4", dtype=self.dtype)(decoder_input)
-            y = _UpsampleBlock(128, 64, name="upsample3", dtype=self.dtype)(
+            y = _UpsampleBlock(256, 256, name="upsample4", dtype=self.dtype, quant_mode=q)(decoder_input)
+            y = _UpsampleBlock(128, 64, name="upsample3", dtype=self.dtype, quant_mode=q)(
                 y + x_0_3_d if self.skip_connections else y
             )
             if self.full_output:
-                y = _UpsampleBlockFull(64, name="upsample2", dtype=self.dtype)(y)
-                y = _UpsampleBlockFull(64, name="upsample1", dtype=self.dtype)(y)
+                y = _UpsampleBlockFull(64, name="upsample2", dtype=self.dtype, quant_mode=q)(y)
+                y = _UpsampleBlockFull(64, name="upsample1", dtype=self.dtype, quant_mode=q)(y)
             head_in = y
 
-        belief_maps = _BeliefHead(self.n_keypoints, name="head", dtype=self.dtype)(head_in)
+        belief_maps = _BeliefHead(self.n_keypoints, name="head", dtype=self.dtype, quant_mode=q)(head_in)
 
         outputs = [belief_maps]
         if self.internalize_spatial_softmax:
@@ -209,6 +239,7 @@ class DreamHourglassMultiStage(nn.Module):
     deconv_decoder: bool = False
     full_output: bool = False
     dtype: Any = jnp.float32
+    quant_mode: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -236,6 +267,7 @@ class DreamHourglassMultiStage(nn.Module):
                 deconv_decoder=self.deconv_decoder,
                 full_output=self.full_output,
                 dtype=self.dtype,
+                quant_mode=self.quant_mode,
                 name=f"stage{stage + 1}",
             )(stage_in)
             prev = stage_out[0]

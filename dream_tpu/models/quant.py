@@ -1,0 +1,112 @@
+"""Post-training int8 quantization for the belief-map conv stacks.
+
+TPU v5e executes int8 MXU contractions at twice the bf16 rate, and the
+hourglass inference pipeline is conv-bound (~70% MXU utilization at bf16),
+so an int8 conv stack is the remaining large single-chip speed lever.  The
+reference has no quantization story (torch fp32 end-to-end); this is a
+dream_tpu extension.
+
+Scheme (standard symmetric PTQ):
+
+- **Weights**: per-output-channel symmetric int8, ``s_w[c] = max|W[...,c]|/127``,
+  quantized inside the traced graph (cheap elementwise on [kh,kw,ci,co], XLA
+  folds it next to the conv).
+- **Activations**: per-tensor symmetric int8 with a calibration-time amax.
+  Calibration runs the f32 model over representative batches with the
+  ``quant`` flax collection mutable; each ``QuantConv`` records
+  ``max |x|`` over everything it saw.
+- **Accumulation**: int32 (``preferred_element_type``), dequantized with the
+  combined scale ``s_x * s_w[c]`` before bias + ReLU.
+
+The first conv of the network quantizes fine (input is the normalized image,
+range [-1, 1] exactly); the final belief-map head conv stays in the float
+compute dtype — belief-map peak geometry is read at 1/100 px resolution by
+the subpixel decoder and the last layer is where output quantization noise
+would land unfiltered.
+
+Usage: build the model with ``quant_mode='calibrate'``, run
+``model.apply(vars, x, mutable=['quant'])`` over calibration batches, then
+rebuild with ``quant_mode='int8'`` and apply with the merged variables.
+``DreamNetwork.enable_int8_inference`` wraps this.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# Calibration/quantized modes threaded through the model as a static
+# module attribute ('calibrate' | 'int8' | None).
+QUANT_MODES = (None, "calibrate", "int8")
+
+
+class QuantConv(nn.Module):
+    """3x3/1x1 conv with torch-Conv2d padding semantics and an int8 path.
+
+    Parameter names/shapes are identical to ``nn.Conv`` (HWIO ``kernel`` +
+    ``bias``), so a trained float checkpoint loads unchanged; the ``quant``
+    collection holds one scalar activation amax per conv.
+    """
+
+    features: int
+    kernel_size: int = 3
+    padding: int = 1
+    mode: str = "calibrate"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        assert self.mode in ("calibrate", "int8"), self.mode
+        k = self.kernel_size
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, k, in_ch, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        amax = self.variable(
+            "quant", "act_amax", lambda: jnp.zeros((), jnp.float32)
+        )
+        pad = ((self.padding, self.padding),) * 2
+
+        if self.mode == "calibrate":
+            if not self.is_initializing():
+                amax.value = jnp.maximum(
+                    amax.value, jnp.max(jnp.abs(x)).astype(jnp.float32)
+                )
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                window_strides=(1, 1),
+                padding=pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return y + bias.astype(self.dtype)
+
+        # int8 path.  Scales are f32 regardless of compute dtype.
+        s_x = jnp.maximum(amax.value, 1e-12) / 127.0
+        x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x), -127.0, 127.0)
+        x_q = x_q.astype(jnp.int8)
+        w32 = kernel.astype(jnp.float32)
+        s_w = jnp.maximum(jnp.max(jnp.abs(w32), axis=(0, 1, 2)), 1e-12) / 127.0
+        w_q = jnp.clip(jnp.round(w32 / s_w), -127.0, 127.0).astype(jnp.int8)
+        y_i32 = jax.lax.conv_general_dilated(
+            x_q,
+            w_q,
+            window_strides=(1, 1),
+            padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        y = y_i32.astype(jnp.float32) * (s_x * s_w) + bias.astype(jnp.float32)
+        return y.astype(self.dtype)
+
+
+def quant_conv3x3(features: int, name: str, mode: str, dtype: Any) -> QuantConv:
+    return QuantConv(
+        features, kernel_size=3, padding=1, mode=mode, name=name, dtype=dtype
+    )

@@ -742,6 +742,96 @@ class DreamNetwork:
         self.__dict__["_inference_fn"] = run
         return mesh
 
+    def enable_int8_inference(self, calibration_net_inputs):
+        """Post-training int8 quantization of the conv stack (dream_tpu
+        extension; the reference is fp32 end-to-end).
+
+        TPU v5e executes int8 MXU contractions at twice the bf16 rate and
+        the hourglass is conv-bound, so this is the remaining single-chip
+        inference speed lever.  Weights quantize per-output-channel, the
+        activation scale per conv comes from calibration over
+        ``calibration_net_inputs`` (an iterable of preprocessed+normalized
+        ``[B, H, W, 3]`` batches — a few dozen representative frames
+        suffice); the belief-map output conv stays in the float compute
+        dtype (see dream_tpu/models/quant.py).  Overrides the jitted
+        inference paths; training and checkpoints are untouched (params
+        stay float32).  vgg architectures only.
+        """
+        import dataclasses
+
+        assert self.architecture_type == "vgg", (
+            "int8 inference is implemented for the vgg (hourglass) "
+            f"architectures; got '{self.architecture_type}'."
+        )
+        self.init_variables()
+        calib_model = dataclasses.replace(self.model, quant_mode="calibrate")
+        int8_model = dataclasses.replace(self.model, quant_mode="int8")
+        w, h = self.trained_net_input_resolution()
+        qvars = calib_model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3), jnp.float32)
+        )["quant"]
+
+        @jax.jit
+        def calib_step(params, quant, net_input):
+            _, mut = calib_model.apply(
+                {"params": params, "quant": quant}, net_input,
+                mutable=["quant"],
+            )
+            return mut["quant"]
+
+        n_frames = 0
+        for batch in calibration_net_inputs:
+            batch = jnp.asarray(batch)
+            qvars = calib_step(self.variables["params"], qvars, batch)
+            n_frames += int(batch.shape[0])
+        assert n_frames > 0, "int8 calibration needs at least one batch."
+        self._int8_quant_vars = qvars
+
+        offset = self.peak_offset_due_to_upsampling()
+        use_scores = self.use_belief_peak_scores
+        gap = self.belief_peak_next_best_score
+        output_heads = self.network_config["architecture"]["output_heads"]
+        soft_argmax_head = output_heads == ["belief_maps", "keypoints"]
+
+        def _apply_int8(variables, net_input):
+            return int8_model.apply(
+                {"params": variables["params"], "quant": qvars}, net_input
+            )
+
+        @jax.jit
+        def run(variables, net_input):
+            outputs = _apply_int8(variables, net_input)
+            belief = jnp.moveaxis(outputs[0 if soft_argmax_head else -1], -1, 1)
+            if soft_argmax_head:
+                return belief, outputs[1]
+            keypoints, _ = bm_ops.keypoints_from_belief_maps(
+                belief, offset, use_belief_peak_scores=use_scores,
+                belief_peak_next_best_score=gap,
+            )
+            return belief, keypoints
+
+        @jax.jit
+        def run_detailed(variables, net_input):
+            if soft_argmax_head:
+                belief, keypoints = run(variables, net_input)
+                return (
+                    belief, keypoints, jnp.ones(keypoints.shape[:-1]), keypoints
+                )
+            outputs = _apply_int8(variables, net_input)
+            belief = jnp.moveaxis(outputs[-1], -1, 1)
+            keypoints, peaks = bm_ops.keypoints_from_belief_maps(
+                belief, offset, use_belief_peak_scores=use_scores,
+                belief_peak_next_best_score=gap,
+            )
+            return (
+                belief, keypoints, peaks["scores"][..., 0],
+                peaks["coords"][..., 0, :],
+            )
+
+        self.__dict__["_inference_fn"] = run
+        self.__dict__["_inference_detailed_fn"] = run_detailed
+        return qvars
+
     def inference(self, network_input):
         """Image batch (NHWC float) -> (belief_maps [B,n_kp,h,w], keypoints [B,n_kp,2]).
 

@@ -1,0 +1,184 @@
+"""int8 post-training quantization (models/quant.py + enable_int8_inference).
+
+dream_tpu extension — the reference is fp32 end-to-end.  These tests pin the
+quantization arithmetic exactly (manual numpy oracle), the calibration
+bookkeeping, parameter-tree compatibility with float checkpoints, and the
+network-facade integration.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dream_tpu.models import DreamHourglass
+from dream_tpu.models.quant import QuantConv
+from dream_tpu.network import DreamNetwork
+
+
+def _quantize_ref(x, kernel, bias, amax):
+    """Numpy oracle for QuantConv's int8 path (3x3, pad 1)."""
+    s_x = max(amax, 1e-12) / 127.0
+    x_q = np.clip(np.round(x / s_x), -127, 127).astype(np.int32)
+    s_w = np.maximum(np.abs(kernel).max(axis=(0, 1, 2)), 1e-12) / 127.0
+    w_q = np.clip(np.round(kernel / s_w), -127, 127).astype(np.int32)
+    b, h, w, ci = x.shape
+    co = kernel.shape[-1]
+    xp = np.pad(x_q, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    out = np.zeros((b, h, w, co), np.int64)
+    for dy in range(3):
+        for dx in range(3):
+            patch = xp[:, dy : dy + h, dx : dx + w, :]
+            out += np.einsum("bhwc,co->bhwo", patch, w_q[dy, dx]).astype(np.int64)
+    return out.astype(np.float32) * (s_x * s_w) + bias
+
+
+def test_quantconv_int8_matches_numpy_oracle():
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (2, 8, 8, 5), minval=-2.0, maxval=2.0)
+    conv = QuantConv(7, kernel_size=3, padding=1, mode="int8")
+    variables = conv.init(key, x)
+    amax = 1.7
+    variables = {
+        "params": variables["params"],
+        "quant": {"act_amax": jnp.asarray(amax, jnp.float32)},
+    }
+    got = np.asarray(conv.apply(variables, x))
+    want = _quantize_ref(
+        np.asarray(x, np.float64),
+        np.asarray(variables["params"]["kernel"], np.float64),
+        np.asarray(variables["params"]["bias"], np.float64),
+        amax,
+    )
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
+
+
+def test_quantconv_calibration_records_running_amax():
+    key = jax.random.PRNGKey(1)
+    conv = QuantConv(4, mode="calibrate")
+    x1 = jnp.full((1, 4, 4, 3), 0.5)
+    x2 = jnp.full((1, 4, 4, 3), -3.25)
+    variables = conv.init(key, x1)
+    assert float(variables["quant"]["act_amax"]) == 0.0  # init records nothing
+    _, mut = conv.apply(variables, x1, mutable=["quant"])
+    assert float(mut["quant"]["act_amax"]) == pytest.approx(0.5)
+    _, mut = conv.apply(
+        {"params": variables["params"], "quant": mut["quant"]}, x2,
+        mutable=["quant"],
+    )
+    assert float(mut["quant"]["act_amax"]) == pytest.approx(3.25)
+    # Calibrate-mode forward == plain float conv (bias included).
+    y, _ = conv.apply(variables, x1, mutable=["quant"])
+    ref = jax.lax.conv_general_dilated(
+        x1, variables["params"]["kernel"], (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + variables["params"]["bias"]
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-6)
+
+
+def test_hourglass_quant_param_tree_matches_float_model():
+    """A float-trained checkpoint must load into the quant model unchanged."""
+    model = DreamHourglass(n_keypoints=3)
+    x = jnp.zeros((1, 32, 32, 3))
+    float_params = model.init(jax.random.PRNGKey(0), x)["params"]
+    calib = dataclasses.replace(model, quant_mode="calibrate")
+    qvars = calib.init(jax.random.PRNGKey(0), x)
+    float_tree = jax.tree.structure(float_params)
+    quant_tree = jax.tree.structure(qvars["params"])
+    assert float_tree == quant_tree
+    for (pf, lf), (pq, lq) in zip(
+        jax.tree_util.tree_leaves_with_path(float_params),
+        jax.tree_util.tree_leaves_with_path(qvars["params"]),
+    ):
+        assert pf == pq and lf.shape == lq.shape
+    # One amax per quantized conv; the head's output conv is NOT quantized.
+    amaxes = jax.tree.leaves(qvars["quant"])
+    assert len(amaxes) == 22  # 16 encoder + 4 decoder + 2 head convs
+    flat = jax.tree_util.tree_flatten_with_path(qvars["quant"])[0]
+    names = {"/".join(str(k) for k in path) for path, _ in flat}
+    assert not any("conv2" in n and "head" in n for n in names)
+
+
+def test_hourglass_int8_output_tracks_float():
+    model = DreamHourglass(n_keypoints=3)
+    key = jax.random.PRNGKey(2)
+    x = jax.random.uniform(jax.random.PRNGKey(3), (2, 32, 32, 3), minval=-1, maxval=1)
+    variables = model.init(key, x)
+    ref = np.asarray(model.apply(variables, x)[-1])
+
+    calib = dataclasses.replace(model, quant_mode="calibrate")
+    q0 = calib.init(key, x)["quant"]
+    _, mut = calib.apply(
+        {"params": variables["params"], "quant": q0}, x, mutable=["quant"]
+    )
+    int8_model = dataclasses.replace(model, quant_mode="int8")
+    got = np.asarray(
+        int8_model.apply(
+            {"params": variables["params"], "quant": mut["quant"]}, x
+        )[-1]
+    )
+    assert got.shape == ref.shape
+    # Random-init outputs are tiny, so pin correlation + relative-to-peak
+    # error rather than absolute tolerance.
+    cc = np.corrcoef(ref.ravel(), got.ravel())[0, 1]
+    assert cc > 0.99
+    # Random-init activations are the PTQ worst case (no dominant signal);
+    # trained checkpoints track far tighter (held-out eval in DEMO.md).
+    assert np.abs(got - ref).max() < 0.2 * np.abs(ref).max()
+
+
+def _vgg_config(net_input=(64, 64)):
+    return {
+        "architecture": {
+            "type": "vgg",
+            "target": "belief_maps",
+            "input_heads": ["image_rgb"],
+            "output_heads": ["belief_maps"],
+            "image_normalization": {"mean": [0.5] * 3, "stdev": [0.5] * 3},
+            "loss": {"type": "mse"},
+            "image_preprocessing": "shrink-and-crop",
+        },
+        "manipulator": {
+            "name": "panda",
+            "keypoints": [
+                {"name": f"kp{i}", "friendly_name": f"KP{i}"} for i in range(4)
+            ],
+        },
+        "training": {
+            "config": {
+                "net_input_resolution": list(net_input),
+                "optimizer": {"type": "adam", "learning_rate": 1e-3},
+            },
+            "platform": {},
+        },
+    }
+
+
+def test_network_enable_int8_inference():
+    net = DreamNetwork(_vgg_config())
+    net.init_variables(seed=0)
+    float_belief, float_kps = net.inference(jnp.zeros((1, 64, 64, 3)))
+
+    rng = np.random.RandomState(0)
+    calib = [
+        jnp.asarray(rng.uniform(-1, 1, size=(2, 64, 64, 3)).astype(np.float32))
+        for _ in range(2)
+    ]
+    qvars = net.enable_int8_inference(calib)
+    assert len(jax.tree.leaves(qvars)) == 22
+    belief, kps = net.inference(jnp.zeros((1, 64, 64, 3)))
+    assert belief.shape == float_belief.shape
+    assert kps.shape == float_kps.shape
+    # Detailed path is overridden too.
+    b2, k2, scores, best = net.inference_detailed(jnp.zeros((1, 64, 64, 3)))
+    assert scores.shape == (1, 4) and best.shape == (1, 4, 2)
+
+    # resnet is not quantizable (BN folding not implemented) — must refuse.
+    cfg = _vgg_config()
+    cfg["architecture"]["type"] = "resnet"
+    resnet = DreamNetwork(cfg)
+    with pytest.raises(AssertionError):
+        resnet.enable_int8_inference(calib)
