@@ -54,6 +54,7 @@ class DreamInferenceServer:
         pnp_reject_outliers_px: Optional[float] = None,
         pnp_soft_detections: bool = False,
         pnp_soft_min_score: float = 0.05,
+        int8_calibration_frames: int = 0,
     ):
         self.network = dream_network
         self.network.enable_evaluation()
@@ -77,6 +78,13 @@ class DreamInferenceServer:
         self.pnp_reject_outliers_px = pnp_reject_outliers_px
         self.pnp_soft_detections = pnp_soft_detections
         self.pnp_soft_min_score = pnp_soft_min_score
+        # Online int8 quantization (dream_tpu extension, vgg architectures):
+        # the first N frames run in float while their net inputs are
+        # buffered as calibration data; frame N+1 onward runs the int8 conv
+        # stack (2x MXU rate on v5e).  0 disables.
+        self.int8_calibration_frames = int(int8_calibration_frames)
+        self._int8_calib_inputs: list = []
+        self._int8_active = False
 
         self.camera_K: Optional[np.ndarray] = None
         self.keypoint_positions: Optional[np.ndarray] = None  # FK-provided [n_kp, 3]
@@ -138,6 +146,27 @@ class DreamInferenceServer:
             image, debug=True, detailed=self.pnp_soft_detections
         )
         detected = detection["detected_keypoints"]
+
+        if self.int8_calibration_frames and not self._int8_active:
+            with self._lock:
+                self._int8_calib_inputs.append(
+                    np.asarray(detection["image_rgb_net_input"])
+                )
+                ready = (
+                    len(self._int8_calib_inputs) >= self.int8_calibration_frames
+                )
+                if ready:
+                    calib = np.stack(self._int8_calib_inputs)
+                    # Quantize under the lock: replaces the network's jitted
+                    # inference paths, which concurrent handler threads read.
+                    self.network.enable_int8_inference([calib])
+                    self._int8_calib_inputs = []
+                    self._int8_active = True
+                    if self.verbose:
+                        print(
+                            f"[serve] int8 inference active (calibrated on "
+                            f"{calib.shape[0]} frames)"
+                        )
 
         with self._lock:
             self.latest_detection = detection
@@ -256,6 +285,11 @@ class DreamInferenceServer:
                 "buffer_size": int(self.kp_projs_raw_buffer.shape[0]),
                 "single_frame_mode": self.single_frame_mode,
                 "keypoint_names": self.network.friendly_keypoint_names,
+                "int8": (
+                    "active" if self._int8_active
+                    else "calibrating" if self.int8_calibration_frames
+                    else "off"
+                ),
             }
 
     def render_debug(self, stream: str):

@@ -56,6 +56,12 @@ def main():
                              "score-gap disambiguation rejects (published "
                              "keypoint detections are unaffected).")
     parser.add_argument("--pnp-soft-min-score", type=float, default=0.05)
+    parser.add_argument("--int8-calibration-frames", type=int, default=0,
+                        help="After this many served frames (run in float "
+                             "and used as calibration data), switch the "
+                             "conv stack to int8 — 2x MXU rate on v5e "
+                             "(dream_tpu extension; 0 = float serving; vgg "
+                             "architectures only).")
     parser.add_argument("-v", "--verbose", action="store_true", default=False)
     args = parser.parse_args()
 
@@ -73,6 +79,7 @@ def main():
         pnp_reject_outliers_px=args.pnp_reject_outliers_px,
         pnp_soft_detections=args.pnp_soft_detections,
         pnp_soft_min_score=args.pnp_soft_min_score,
+        int8_calibration_frames=args.int8_calibration_frames,
     )
     httpd = make_http_server(server, args.host, args.port)
     print(f"dream_tpu serving on {args.host}:{args.port} "

@@ -314,3 +314,31 @@ def test_serve_outlier_rejection():
     np.testing.assert_allclose(
         server.get_pose()["camera_from_robot"]["translation"], t_gt, atol=5e-3
     )
+
+
+def test_serve_online_int8_calibration():
+    """First N frames run float and calibrate; then the conv stack switches
+    to int8 (dream_tpu extension — reference serves fp32 only)."""
+    net = DreamNetwork(_vgg_config())
+    net.init_variables(seed=0)
+    server = DreamInferenceServer(
+        net, base_frame="base", int8_calibration_frames=2
+    )
+    image = np.zeros((96, 128, 3), np.uint8)
+
+    assert server.get_status()["int8"] == "calibrating"
+    server.process_image(image)
+    assert server.get_status()["int8"] == "calibrating"
+    float_fn = net.__dict__.get("_inference_fn")
+    server.process_image(image)  # second frame completes calibration
+    assert server.get_status()["int8"] == "active"
+    assert net.__dict__["_inference_fn"] is not float_fn
+
+    # Frames keep serving through the quantized stack.
+    status = server.process_image(image)
+    assert status["frame"] == 3
+    assert server.latest_detection["detected_keypoints"].shape == (4, 2)
+
+    # Disabled by default.
+    off = DreamInferenceServer(net, base_frame="base")
+    assert off.get_status()["int8"] == "off"
