@@ -136,6 +136,51 @@ def main():
             break
         time.sleep(5.0)  # let the relay settle, then re-warm + retry
 
+    # Optional int8 capture (dream_tpu extension, models/quant.py): PTQ the
+    # conv stack and time the same end-to-end pipeline at the best batch
+    # size.  Guarded — a Mosaic/XLA int8 lowering failure must never sink
+    # the official capture; the headline `value` stays the bf16 number.
+    int8_fps = 0.0
+    int8_trials = []
+    try:
+        import dataclasses
+
+        calib_model = dataclasses.replace(model, quant_mode="calibrate")
+        int8_model = dataclasses.replace(model, quant_mode="int8")
+        qvars = calib_model.init(key, init_img)["quant"]
+        calib_in = preprocess_and_normalize(
+            batches[16], (400, 400), "shrink-and-crop", norm
+        )
+        _, mut = jax.jit(
+            lambda p, q, x: calib_model.apply(
+                {"params": p, "quant": q}, x, mutable=["quant"]
+            )
+        )(variables["params"], qvars, calib_in)
+        qvars = mut["quant"]
+
+        @jax.jit
+        def infer_int8(params, raw_uint8):
+            net_in = preprocess_and_normalize(
+                raw_uint8, (400, 400), "shrink-and-crop", norm
+            )
+            belief_nhwc = int8_model.apply(
+                {"params": params, "quant": qvars}, net_in
+            )[-1]
+            belief = jnp.moveaxis(belief_nhwc, -1, 1)
+            kps, _ = keypoints_from_belief_maps(belief, 0.4395)
+            return kps
+
+        b8 = max(results, key=results.get) if results else 128
+        frames8 = batches[b8]
+        sync(infer_int8(variables["params"], frames8))  # warm-up / compile
+        n_iters = max(MIN_DISPATCHES, int(2048 // b8))
+        int8_trials = _timed_trials(
+            lambda: infer_int8(variables["params"], frames8), sync, b8, n_iters
+        )
+        int8_fps = float(np.median(int8_trials))
+    except Exception as exc:
+        anomalies.append({"reason": f"int8 capture failed: {exc}"[:200]})
+
     # Training throughput in the PRODUCTION configuration — bf16 compute +
     # scanned epochs over a device-resident set (the --cache-device path that
     # scripts/train_network.py ships; round-2's official capture fell back to
@@ -258,6 +303,8 @@ def main():
                     },
                     "per_batch_trials_fps": trials_detail,
                     "best_batch": best_batch,
+                    "int8_fps_median": round(int8_fps, 2),
+                    "int8_trials_fps": [round(t, 1) for t in int8_trials],
                     "train_step_imgs_per_sec": round(train_fps, 1),
                     "train_step_batch": TRAIN_B,
                     "train_step_mode": train_mode,
