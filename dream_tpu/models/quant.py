@@ -43,23 +43,40 @@ from flax import linen as nn
 QUANT_MODES = (None, "calibrate", "int8")
 
 
+def _quantize_weights(kernel):
+    """Per-output-channel symmetric int8 weights + f32 scales (HWIO)."""
+    w32 = kernel.astype(jnp.float32)
+    s_w = jnp.maximum(jnp.max(jnp.abs(w32), axis=(0, 1, 2)), 1e-12) / 127.0
+    w_q = jnp.clip(jnp.round(w32 / s_w), -127.0, 127.0).astype(jnp.int8)
+    return w_q, s_w
+
+
+def _quantize_activations(x, amax):
+    s_x = jnp.maximum(amax, 1e-12) / 127.0
+    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x), -127.0, 127.0)
+    return x_q.astype(jnp.int8), s_x
+
+
 class QuantConv(nn.Module):
-    """3x3/1x1 conv with torch-Conv2d padding semantics and an int8 path.
+    """Conv with torch-Conv2d padding/stride semantics and an int8 path.
 
     Parameter names/shapes are identical to ``nn.Conv`` (HWIO ``kernel`` +
     ``bias``), so a trained float checkpoint loads unchanged; the ``quant``
-    collection holds one scalar activation amax per conv.
+    collection holds one scalar activation amax per conv.  ``mode='float'``
+    is a plain conv (no quant variable at all — used by deploy-time graphs
+    that are float-verified before quantization).
     """
 
     features: int
     kernel_size: int = 3
     padding: int = 1
+    stride: int = 1
     mode: str = "calibrate"
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        assert self.mode in ("calibrate", "int8"), self.mode
+        assert self.mode in ("float", "calibrate", "int8"), self.mode
         k = self.kernel_size
         in_ch = x.shape[-1]
         kernel = self.param(
@@ -68,37 +85,104 @@ class QuantConv(nn.Module):
             (k, k, in_ch, self.features),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        amax = self.variable(
-            "quant", "act_amax", lambda: jnp.zeros((), jnp.float32)
-        )
         pad = ((self.padding, self.padding),) * 2
+        strides = (self.stride, self.stride)
 
-        if self.mode == "calibrate":
-            if not self.is_initializing():
-                amax.value = jnp.maximum(
-                    amax.value, jnp.max(jnp.abs(x)).astype(jnp.float32)
+        if self.mode != "int8":
+            if self.mode == "calibrate":
+                amax = self.variable(
+                    "quant", "act_amax", lambda: jnp.zeros((), jnp.float32)
                 )
+                if not self.is_initializing():
+                    amax.value = jnp.maximum(
+                        amax.value, jnp.max(jnp.abs(x)).astype(jnp.float32)
+                    )
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype),
                 kernel.astype(self.dtype),
-                window_strides=(1, 1),
+                window_strides=strides,
                 padding=pad,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
             return y + bias.astype(self.dtype)
 
         # int8 path.  Scales are f32 regardless of compute dtype.
-        s_x = jnp.maximum(amax.value, 1e-12) / 127.0
-        x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x), -127.0, 127.0)
-        x_q = x_q.astype(jnp.int8)
-        w32 = kernel.astype(jnp.float32)
-        s_w = jnp.maximum(jnp.max(jnp.abs(w32), axis=(0, 1, 2)), 1e-12) / 127.0
-        w_q = jnp.clip(jnp.round(w32 / s_w), -127.0, 127.0).astype(jnp.int8)
+        amax = self.variable(
+            "quant", "act_amax", lambda: jnp.zeros((), jnp.float32)
+        )
+        x_q, s_x = _quantize_activations(x, amax.value)
+        w_q, s_w = _quantize_weights(kernel)
+        y_i32 = jax.lax.conv_general_dilated(
+            x_q,
+            w_q,
+            window_strides=strides,
+            padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        y = y_i32.astype(jnp.float32) * (s_x * s_w) + bias.astype(jnp.float32)
+        return y.astype(self.dtype)
+
+
+class QuantConvTranspose(nn.Module):
+    """torch ConvTranspose2d(k, s, p) semantics with an int8 path.
+
+    Same fractionally-strided formulation as ``layers.TorchConvTranspose``
+    (lhs_dilation + explicit ``k-1-p`` padding); the zeros lhs_dilation
+    inserts are exact in the symmetric int8 domain, so quantization
+    commutes with the dilation.
+    """
+
+    features: int
+    kernel_size: int = 4
+    stride: int = 2
+    padding: int = 1
+    mode: str = "calibrate"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        assert self.mode in ("float", "calibrate", "int8"), self.mode
+        k, s, p = self.kernel_size, self.stride, self.padding
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, k, in_ch, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        pad = ((k - 1 - p, k - 1 - p),) * 2
+
+        if self.mode != "int8":
+            if self.mode == "calibrate":
+                amax = self.variable(
+                    "quant", "act_amax", lambda: jnp.zeros((), jnp.float32)
+                )
+                if not self.is_initializing():
+                    amax.value = jnp.maximum(
+                        amax.value, jnp.max(jnp.abs(x)).astype(jnp.float32)
+                    )
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                window_strides=(1, 1),
+                padding=pad,
+                lhs_dilation=(s, s),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return y + bias.astype(self.dtype)
+
+        amax = self.variable(
+            "quant", "act_amax", lambda: jnp.zeros((), jnp.float32)
+        )
+        x_q, s_x = _quantize_activations(x, amax.value)
+        w_q, s_w = _quantize_weights(kernel)
         y_i32 = jax.lax.conv_general_dilated(
             x_q,
             w_q,
             window_strides=(1, 1),
             padding=pad,
+            lhs_dilation=(s, s),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.int32,
         )

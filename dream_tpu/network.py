@@ -207,6 +207,10 @@ class DreamNetwork:
             resnet_kwargs = {}
             if "full_decoder" in arch:
                 resnet_kwargs["full"] = arch["full_decoder"]
+            if "layers" in arch:
+                # Trunk depth override (default resnet101); used by tests
+                # and small-footprint deployments.
+                resnet_kwargs["layers"] = tuple(arch["layers"])
             self.model = dream_models.ResnetSimple(
                 n_keypoints=self.n_keypoints, dtype=self.compute_dtype,
                 **resnet_kwargs
@@ -753,19 +757,33 @@ class DreamNetwork:
         ``calibration_net_inputs`` (an iterable of preprocessed+normalized
         ``[B, H, W, 3]`` batches — a few dozen representative frames
         suffice); the belief-map output conv stays in the float compute
-        dtype (see dream_tpu/models/quant.py).  Overrides the jitted
-        inference paths; training and checkpoints are untouched (params
-        stay float32).  vgg architectures only.
+        dtype (see dream_tpu/models/quant.py).  resnet architectures are
+        first transformed to the BN-folded deploy graph
+        (models/resnet_deploy.py) and quantized there.  Overrides the
+        jitted inference paths; training and checkpoints are untouched
+        (params stay float32).
         """
         import dataclasses
 
-        assert self.architecture_type == "vgg", (
-            "int8 inference is implemented for the vgg (hourglass) "
-            f"architectures; got '{self.architecture_type}'."
-        )
         self.init_variables()
-        calib_model = dataclasses.replace(self.model, quant_mode="calibrate")
-        int8_model = dataclasses.replace(self.model, quant_mode="int8")
+        if self.architecture_type == "resnet":
+            from dream_tpu.models.resnet_deploy import (
+                ResnetSimpleDeploy, fold_batchnorm_resnet,
+            )
+
+            deploy_kwargs = dict(
+                n_keypoints=self.n_keypoints,
+                full=self._arch_kwargs["full"],
+                layers=self.model.layers,
+                dtype=self.compute_dtype,
+            )
+            calib_model = ResnetSimpleDeploy(**deploy_kwargs, mode="calibrate")
+            int8_model = ResnetSimpleDeploy(**deploy_kwargs, mode="int8")
+            int8_params = fold_batchnorm_resnet(self.variables)["params"]
+        else:
+            calib_model = dataclasses.replace(self.model, quant_mode="calibrate")
+            int8_model = dataclasses.replace(self.model, quant_mode="int8")
+            int8_params = self.variables["params"]
         w, h = self.trained_net_input_resolution()
         qvars = calib_model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3), jnp.float32)
@@ -782,10 +800,11 @@ class DreamNetwork:
         n_frames = 0
         for batch in calibration_net_inputs:
             batch = jnp.asarray(batch)
-            qvars = calib_step(self.variables["params"], qvars, batch)
+            qvars = calib_step(int8_params, qvars, batch)
             n_frames += int(batch.shape[0])
         assert n_frames > 0, "int8 calibration needs at least one batch."
         self._int8_quant_vars = qvars
+        self._int8_params = int8_params
 
         offset = self.peak_offset_due_to_upsampling()
         use_scores = self.use_belief_peak_scores
@@ -793,14 +812,14 @@ class DreamNetwork:
         output_heads = self.network_config["architecture"]["output_heads"]
         soft_argmax_head = output_heads == ["belief_maps", "keypoints"]
 
-        def _apply_int8(variables, net_input):
-            return int8_model.apply(
-                {"params": variables["params"], "quant": qvars}, net_input
-            )
-
+        # The quantized params are passed as jit ARGUMENTS (for resnet the
+        # BN-folded tree differs from self.variables; embedding it as jaxpr
+        # constants would bloat the compile).
         @jax.jit
-        def run(variables, net_input):
-            outputs = _apply_int8(variables, net_input)
+        def run_impl(params, net_input):
+            outputs = int8_model.apply(
+                {"params": params, "quant": qvars}, net_input
+            )
             belief = jnp.moveaxis(outputs[0 if soft_argmax_head else -1], -1, 1)
             if soft_argmax_head:
                 return belief, outputs[1]
@@ -811,13 +830,16 @@ class DreamNetwork:
             return belief, keypoints
 
         @jax.jit
-        def run_detailed(variables, net_input):
+        def run_detailed_impl(params, net_input):
+            outputs = int8_model.apply(
+                {"params": params, "quant": qvars}, net_input
+            )
             if soft_argmax_head:
-                belief, keypoints = run(variables, net_input)
+                belief = jnp.moveaxis(outputs[0], -1, 1)
+                keypoints = outputs[1]
                 return (
                     belief, keypoints, jnp.ones(keypoints.shape[:-1]), keypoints
                 )
-            outputs = _apply_int8(variables, net_input)
             belief = jnp.moveaxis(outputs[-1], -1, 1)
             keypoints, peaks = bm_ops.keypoints_from_belief_maps(
                 belief, offset, use_belief_peak_scores=use_scores,
@@ -827,6 +849,12 @@ class DreamNetwork:
                 belief, keypoints, peaks["scores"][..., 0],
                 peaks["coords"][..., 0, :],
             )
+
+        def run(variables, net_input):
+            return run_impl(self._int8_params, net_input)
+
+        def run_detailed(variables, net_input):
+            return run_detailed_impl(self._int8_params, net_input)
 
         self.__dict__["_inference_fn"] = run
         self.__dict__["_inference_detailed_fn"] = run_detailed

@@ -60,8 +60,7 @@ def main():
                         help="After this many served frames (run in float "
                              "and used as calibration data), switch the "
                              "conv stack to int8 — 2x MXU rate on v5e "
-                             "(dream_tpu extension; 0 = float serving; vgg "
-                             "architectures only).")
+                             "(dream_tpu extension; 0 = float serving).")
     parser.add_argument("-v", "--verbose", action="store_true", default=False)
     args = parser.parse_args()
 

@@ -176,9 +176,78 @@ def test_network_enable_int8_inference():
     b2, k2, scores, best = net.inference_detailed(jnp.zeros((1, 64, 64, 3)))
     assert scores.shape == (1, 4) and best.shape == (1, 4, 2)
 
-    # resnet is not quantizable (BN folding not implemented) — must refuse.
+def test_network_enable_int8_inference_resnet():
+    """resnet goes through the BN-folded deploy graph (resnet_deploy.py)."""
     cfg = _vgg_config()
     cfg["architecture"]["type"] = "resnet"
-    resnet = DreamNetwork(cfg)
-    with pytest.raises(AssertionError):
-        resnet.enable_int8_inference(calib)
+    cfg["architecture"]["layers"] = [1, 1, 1, 1]  # small trunk for CPU
+    net = DreamNetwork(cfg)
+    net.init_variables(seed=0)
+    float_belief, float_kps = net.inference(jnp.zeros((1, 64, 64, 3)))
+
+    rng = np.random.RandomState(1)
+    calib = [
+        jnp.asarray(rng.uniform(-1, 1, size=(2, 64, 64, 3)).astype(np.float32))
+    ]
+    net.enable_int8_inference(calib)
+    belief, kps = net.inference(jnp.zeros((1, 64, 64, 3)))
+    assert belief.shape == float_belief.shape
+    assert kps.shape == float_kps.shape
+
+
+def test_resnet_bn_fold_exact():
+    """Deploy model (float mode) must reproduce the BN model's inference."""
+    from dream_tpu.models.resnet_deploy import (
+        ResnetSimpleDeploy, fold_batchnorm_resnet,
+    )
+    from dream_tpu.models.resnet_simple import ResnetSimple
+
+    model = ResnetSimple(n_keypoints=3, layers=(1, 1, 1, 1))
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3), minval=-1, maxval=1)
+    variables = model.init(key, x, train=False)
+    # Randomize the BN statistics/affine params so the fold is non-trivial.
+    leaves, treedef = jax.tree.flatten(variables)
+    rngs = jax.random.split(jax.random.PRNGKey(2), len(leaves))
+    leaves = [
+        l + 0.3 * jax.random.uniform(r, l.shape) if l.ndim == 1 else l
+        for l, r in zip(leaves, rngs)
+    ]
+    variables = jax.tree.unflatten(treedef, leaves)
+    # BN var must stay positive.
+    variables = jax.tree_util.tree_map(jnp.abs, variables)
+
+    ref = np.asarray(model.apply(variables, x, train=False)[0])
+    deploy = ResnetSimpleDeploy(n_keypoints=3, layers=(1, 1, 1, 1), mode="float")
+    folded = fold_batchnorm_resnet(variables)
+    got = np.asarray(deploy.apply(folded, x)[0])
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_resnet_deploy_int8_tracks_float():
+    from dream_tpu.models.resnet_deploy import (
+        ResnetSimpleDeploy, fold_batchnorm_resnet,
+    )
+    from dream_tpu.models.resnet_simple import ResnetSimple
+    import dataclasses
+
+    model = ResnetSimple(n_keypoints=3, layers=(1, 1, 1, 1))
+    x = jax.random.uniform(jax.random.PRNGKey(3), (1, 64, 64, 3), minval=-1, maxval=1)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    folded = fold_batchnorm_resnet(variables)
+
+    deploy = ResnetSimpleDeploy(n_keypoints=3, layers=(1, 1, 1, 1), mode="float")
+    ref = np.asarray(deploy.apply(folded, x)[0])
+
+    calib = dataclasses.replace(deploy, mode="calibrate")
+    qshape = calib.init(jax.random.PRNGKey(0), x)["quant"]
+    _, mut = calib.apply(
+        {"params": folded["params"], "quant": qshape}, x, mutable=["quant"]
+    )
+    int8 = dataclasses.replace(deploy, mode="int8")
+    got = np.asarray(
+        int8.apply({"params": folded["params"], "quant": mut["quant"]}, x)[0]
+    )
+    cc = np.corrcoef(ref.ravel(), got.ravel())[0, 1]
+    assert cc > 0.98
