@@ -1,0 +1,128 @@
+#!/usr/bin/env python3
+"""Export the inference pipeline as a deployable StableHLO artifact.
+
+One self-contained file: raw uint8 frames in -> keypoint coords out, with
+trained weights (and optional int8 quantization) baked in as constants; a
+consumer deserializes it with jax.export and calls it — no dream_tpu, flax,
+or checkpoint needed at serving time (see dream_tpu/export.py).
+
+Example:
+    python scripts/export_inference.py -i out/best_network.msgpack \
+        -o panda_vgg_q.jaxexport -b 32 --raw-resolution 640x480 \
+        --platforms tpu,cpu \
+        [--int8-calibration-dir /path/to/ndds --int8-calibration-frames 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter
+    )
+    parser.add_argument("-i", "--input-params-path", required=True)
+    parser.add_argument("-c", "--network-config", default=None,
+                        help="Defaults to the params path with .yaml.")
+    parser.add_argument("-o", "--output-path", required=True,
+                        help="Artifact file to write (.jaxexport).")
+    parser.add_argument("-b", "--batch-size", type=int, default=32)
+    parser.add_argument("--raw-resolution", default="640x480",
+                        help="WxH of the raw frames the artifact accepts.")
+    parser.add_argument("--platforms", default=None,
+                        help="Comma-separated lowering platforms (e.g. "
+                             "'tpu' or 'tpu,cpu'); default: current backend.")
+    parser.add_argument("--int8-calibration-dir", default=None,
+                        help="NDDS dataset to calibrate int8 quantization "
+                             "on; omit for float inference.")
+    parser.add_argument("--int8-calibration-frames", type=int, default=32)
+    parser.add_argument("--self-test", action="store_true", default=False,
+                        help="Deserialize the artifact and compare against "
+                             "the live network on random frames (requires "
+                             "the current backend to be an export target).")
+    args = parser.parse_args()
+
+    import numpy as np
+
+    from dream_tpu.export import export_inference, load_inference
+    from dream_tpu.network import create_network_from_config_file
+
+    network_config_path = args.network_config or os.path.splitext(
+        args.input_params_path
+    )[0] + ".yaml"
+    net = create_network_from_config_file(
+        network_config_path, args.input_params_path
+    )
+    net.enable_evaluation()
+
+    w, h = (int(v) for v in args.raw_resolution.lower().split("x"))
+
+    if args.int8_calibration_dir:
+        import jax
+        import jax.numpy as jnp
+
+        from dream_tpu import data as dream_data
+        from dream_tpu.utils.ndds import find_ndds_data_in_dir, load_image_resolution
+
+        found = find_ndds_data_in_dir(args.int8_calibration_dir)
+        raw_res = load_image_resolution(found[1]["camera"])
+        netin_res, netout_res = net.net_resolutions_from_image_raw_resolution(raw_res)
+        dataset = dream_data.ManipulatorNDDSDataset(
+            found, net.manipulator_name, net.keypoint_names,
+            netin_res, netout_res, net.image_normalization,
+            net.image_preprocessing(), augment_data=False,
+            include_ground_truth=False, include_belief_maps=False,
+        )
+        process = dream_data.make_batch_processor(
+            raw_res, netin_res, netout_res, net.image_preprocessing(),
+            net.image_normalization, augment=False, include_belief_maps=False,
+        )
+        batches, n = [], 0
+        for host_batch in dream_data.DataLoader(dataset, 16, shuffle=False):
+            b = process(
+                jax.random.PRNGKey(0),
+                jnp.asarray(host_batch["image_rgb_raw"]),
+                jnp.asarray(host_batch["keypoint_projections_raw"]),
+            )
+            batches.append(b["image_rgb_input"])
+            n += int(b["image_rgb_input"].shape[0])
+            if n >= args.int8_calibration_frames:
+                break
+        net.enable_int8_inference(batches)
+        print(f"int8 calibrated on {n} frames from {args.int8_calibration_dir}")
+
+    platforms = args.platforms.split(",") if args.platforms else None
+    data = export_inference(net, (w, h), args.batch_size, platforms=platforms)
+    with open(args.output_path, "wb") as f:
+        f.write(data)
+    print(f"wrote {args.output_path}: {len(data) / 1e6:.1f} MB, "
+          f"input uint8[{args.batch_size},{h},{w},3], "
+          f"platforms={platforms or 'current backend'}")
+
+    if args.self_test:
+        call = load_inference(data)
+        rng = np.random.RandomState(0)
+        frames = rng.randint(0, 255, size=(args.batch_size, h, w, 3), dtype=np.uint8)
+        belief, kps = call(frames)
+        import jax.numpy as jnp  # noqa: F811
+
+        ref_belief, ref_kps = net.inference(
+            __import__("dream_tpu.ops.image_proc", fromlist=["x"])
+            .preprocess_and_normalize(
+                jnp.asarray(frames), net.trained_net_input_resolution(),
+                net.image_preprocessing(), net.image_normalization,
+            )
+        )
+        kp_delta = float(np.max(np.abs(np.asarray(kps) - np.asarray(ref_kps))))
+        print(f"self-test: max keypoint delta vs live network = {kp_delta:.2e}")
+        assert kp_delta < 1e-3
+        print("self-test OK")
+
+
+if __name__ == "__main__":
+    main()
