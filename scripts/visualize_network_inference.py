@@ -98,7 +98,8 @@ def _save_frame(
             ).save(os.path.join(frame_dirs[KP_BELIEF_OVERLAY_RAW], name))
 
 
-def _ndds_frames(net, dataset_dir, start, end, batch_size, num_workers):
+def _ndds_frames(net, dataset_dir, start, end, batch_size, num_workers,
+                 int8_calibration_frames=0):
     """Batched device inference over an NDDS dataset; yields per-frame
     visualization inputs including GT keypoints (reference :241-318)."""
     import jax
@@ -139,6 +140,26 @@ def _ndds_frames(net, dataset_dir, start, end, batch_size, num_workers):
     gt_to_netin = coord_ops.affine_netin_from_raw(
         image_raw_resolution, net_in_res, preproc
     )
+
+    if int8_calibration_frames:
+        # Quantize the conv stack to int8, calibrating on the first frames
+        # of the selected range (dream_tpu extension; 2x MXU rate on v5e).
+        calib_batches, n_calib = [], 0
+        for host_batch in dream_data.DataLoader(
+            dataset, batch_size, shuffle=False, drop_last=False,
+            indices=indices,
+        ):
+            b = process(
+                jax.random.PRNGKey(0),
+                jnp.asarray(host_batch["image_rgb_raw"]),
+                jnp.asarray(host_batch["keypoint_projections_raw"]),
+            )
+            calib_batches.append(b["image_rgb_input"])
+            n_calib += int(b["image_rgb_input"].shape[0])
+            if n_calib >= int8_calibration_frames:
+                break
+        net.enable_int8_inference(calib_batches)
+        print(f"int8 inference active (calibrated on {n_calib} frames)")
 
     for host_batch in loader:
         batch = process(
@@ -214,6 +235,7 @@ def visualize_network_inference(args):
         frames = _ndds_frames(
             net, args.dataset_dir, start, args.end_frame,
             args.batch_size, args.num_workers,
+            int8_calibration_frames=args.int8_calibration_frames,
         )
     else:
         frames = _image_dir_frames(net, args.dataset_dir, start, args.end_frame)
@@ -249,4 +271,9 @@ if __name__ == "__main__":
     parser.add_argument("-fps", "--fps", type=float, default=30.0)
     parser.add_argument("-s", "--start-frame", type=int, default=None)
     parser.add_argument("-e", "--end-frame", type=int, default=None)
+    parser.add_argument("--int8-calibration-frames", type=int, default=0,
+                        help="Quantize the conv stack to int8 (NDDS path "
+                             "only), calibrating on this many leading "
+                             "frames of the selected range (dream_tpu "
+                             "extension; 0 = float).")
     visualize_network_inference(parser.parse_args())

@@ -206,10 +206,13 @@ def test_parity_check_add_convention_resolution(tmp_path):
         assert detail["n_frames"] == 6
 
 
-def test_visualize_network_inference_ndds_gt_overlays(tmp_path):
+@pytest.mark.parametrize("int8_frames", [0, 2])
+def test_visualize_network_inference_ndds_gt_overlays(tmp_path, int8_frames):
     """Video-viz CLI on an NDDS dataset: batched inference produces every
     requested frame type, and GT keypoints are overlaid in green
-    (reference scripts/visualize_network_inference.py:293-318,451-455)."""
+    (reference scripts/visualize_network_inference.py:293-318,451-455).
+    int8_frames=2 additionally runs the pipeline through the quantized
+    conv stack (dream_tpu extension)."""
     from dream_tpu import data as dream_data
     from dream_tpu.network import DreamNetwork
     from dream_tpu.utils.config import load_yaml
@@ -254,6 +257,7 @@ def test_visualize_network_inference_ndds_gt_overlays(tmp_path):
         fps = 30.0
         start_frame = 1
         end_frame = None
+        int8_calibration_frames = int8_frames
 
     vni.visualize_network_inference(Args())
 
