@@ -177,6 +177,61 @@ def main():
             "or a perf regression; re-run / investigate"
         )
 
+    # ---- 4. int8 conv stack: on-chip lowering + fidelity + timing ----------
+    # (models/quant.py; CI covers it only on the CPU backend.)
+    try:
+        import dataclasses
+
+        calib_model = dataclasses.replace(model, quant_mode="calibrate")
+        int8_model = dataclasses.replace(model, quant_mode="int8")
+        net_in = preprocess_and_normalize(
+            batch, (400, 400), "shrink-and-crop", norm
+        )
+        qvars = calib_model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 400, 400, 3), jnp.float32)
+        )["quant"]
+        _, mut = jax.jit(
+            lambda p, q, x: calib_model.apply(
+                {"params": p, "quant": q}, x, mutable=["quant"]
+            )
+        )(variables["params"], qvars, net_in)
+        qvars = mut["quant"]
+
+        @jax.jit
+        def infer_int8(params, raw_uint8):
+            x = preprocess_and_normalize(
+                raw_uint8, (400, 400), "shrink-and-crop", norm
+            )
+            belief = jnp.moveaxis(
+                int8_model.apply({"params": params, "quant": qvars}, x)[-1],
+                -1, 1,
+            )
+            kps, _ = keypoints_from_belief_maps(belief, 0.4395)
+            return belief, kps
+
+        belief_q, _ = infer_int8(variables["params"], batch)
+        belief_f = jnp.moveaxis(model.apply(variables, net_in)[-1], -1, 1)
+        bq, bf = np.asarray(belief_q), np.asarray(belief_f, np.float32)
+        denom = max(float(np.abs(bf).max()), 1e-9)
+        rel = float(np.abs(bq - bf).max()) / denom
+        t0 = time.time()
+        for _ in range(3):
+            out = infer_int8(variables["params"], batch)
+        np.asarray(out[1])
+        fps8 = 3 * b / (time.time() - t0)
+        print(
+            f"4. int8 stack OK: rel-to-peak belief delta {rel:.3f} vs bf16, "
+            f"{fps8:.0f} fps at b={b} (bf16 was {fps:.0f})"
+        )
+        if rel > 0.25:
+            failures.append(
+                f"int8 belief maps diverge from bf16 (rel {rel:.3f}; random "
+                "weights are the PTQ worst case, but >0.25 means a lowering "
+                "bug, not quantization noise)"
+            )
+    except Exception as exc:
+        failures.append(f"int8 stack failed on-chip: {exc}")
+
     if failures:
         for f in failures:
             print(f"FAIL: {f}")
