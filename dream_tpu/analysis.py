@@ -373,21 +373,11 @@ def analyze_ndds_dataset(
         # activation scales on the first N frames of this dataset
         # (dream_tpu extension — see DreamNetwork.enable_int8_inference).
         print(f"Calibrating int8 inference on {int8_calibration_frames} frames...")
-        calib_batches = []
-        n_calib = 0
-        for host_batch in dream_data.DataLoader(
-            dataset, batch_size, shuffle=False, drop_last=False
-        ):
-            b = process(
-                jax.random.PRNGKey(0),
-                jnp.asarray(host_batch["image_rgb_raw"]),
-                jnp.asarray(host_batch["keypoint_projections_raw"]),
+        dream_network.enable_int8_inference(
+            dream_data.collect_calibration_batches(
+                dataset, process, int8_calibration_frames, batch_size
             )
-            calib_batches.append(b["image_rgb_input"])
-            n_calib += int(b["image_rgb_input"].shape[0])
-            if n_calib >= int8_calibration_frames:
-                break
-        dream_network.enable_int8_inference(calib_batches)
+        )
 
     print("Conducting inference...")
     for host_batch in loader:

@@ -523,3 +523,32 @@ def split_indices(
     order = rng.permutation(n)
     n_train = int(round(n * training_fraction))
     return order[:n_train], order[n_train:]
+
+
+def collect_calibration_batches(dataset, process, n_frames, batch_size=16,
+                                indices=None):
+    """Collect >= ``n_frames`` preprocessed net-input batches for int8
+    calibration (shared by the analysis/export/video CLIs).
+
+    ``process`` is a ``make_batch_processor`` closure; frames come from the
+    head of ``dataset`` (or of ``indices``) in on-disk order, never dropped
+    on a partial tail batch.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    batches, n = [], 0
+    for host_batch in DataLoader(
+        dataset, batch_size, shuffle=False, drop_last=False, indices=indices
+    ):
+        b = process(
+            jax.random.PRNGKey(0),
+            jnp.asarray(host_batch["image_rgb_raw"]),
+            jnp.asarray(host_batch["keypoint_projections_raw"]),
+        )
+        batches.append(b["image_rgb_input"])
+        n += int(b["image_rgb_input"].shape[0])
+        if n >= n_frames:
+            break
+    assert batches, "calibration dataset yielded no frames"
+    return batches

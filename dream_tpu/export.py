@@ -2,17 +2,30 @@
 
 Serializes the ENTIRE single-jit inference pipeline — raw uint8 frames ->
 on-device preprocess/normalize -> conv stack (float or int8) -> belief-map
-peak decode -> keypoint coords — into one self-contained StableHLO
-artifact with the trained weights baked in as constants.  A serving
-process deserializes and calls it without dream_tpu, flax, or the original
-checkpoint present; versioned StableHLO gives forward-compatible
+peak decode -> **raw-frame keypoint coords** — into one self-contained
+StableHLO artifact with the trained weights baked in as constants.  A
+serving process deserializes and calls it without dream_tpu, flax, or the
+original checkpoint present; versioned StableHLO gives forward-compatible
 deployment across JAX/XLA releases.
+
+Two portability choices are made for the exported graph (differing from
+live inference):
+
+- the peak decode uses the pure-XLA composite, not the TPU Pallas kernel
+  (a serialized ``pallas_call`` would pin the artifact to one Mosaic
+  version and break cross-platform lowering; the decode is a few percent
+  of the pipeline);
+- keypoints are returned in RAW-frame pixels — the netout->netin->raw
+  affine is a trace-time constant of ``raw_resolution``, so it is baked
+  in; consumers get coordinates directly usable against their frames.
+  The no-detection sentinel stays "< -999" (affines only scale it more
+  negative).
 
 No reference analog: the reference deploys by shipping the .pth + the full
 torch/dream source tree (reference scripts/launch_dream_ros.py:124-130).
 
 Cross-platform lowering is supported (e.g. export a TPU artifact from a
-CPU host) via ``platforms``.
+CPU host, or a tpu+cpu artifact from this TPU host) via ``platforms``.
 """
 
 from __future__ import annotations
@@ -23,29 +36,64 @@ import jax
 import jax.numpy as jnp
 from jax import export as jax_export
 
+from dream_tpu.ops import belief_maps as bm_ops
+from dream_tpu.ops import coords as coord_ops
 from dream_tpu.ops import image_proc as image_proc_ops
 
 
 def build_raw_inference_fn(dream_network, raw_resolution: Tuple[int, int]):
-    """Closure ``raw_uint8 [B, H, W, 3] -> (belief_maps, keypoints)`` with the
-    network's weights (and int8 scales, if enabled) captured as constants.
+    """Closure ``raw_uint8 [B, H, W, 3] -> (belief_maps, keypoints_raw)``
+    with the network's weights (and int8 scales/folded params, if
+    ``enable_int8_inference`` ran) captured as constants.
 
     ``raw_resolution`` is (width, height) of the incoming frames; the
-    network's trained preprocessing mode and normalization are applied on
-    device, exactly as ``DreamNetwork.keypoints_from_image`` does per frame.
+    network's trained preprocessing mode and normalization run on device,
+    and detected keypoints are mapped back into the raw frame exactly as
+    ``DreamNetwork.keypoints_from_image`` does per frame.
     """
-    dream_network.init_variables()
-    net_input_res = dream_network.trained_net_input_resolution()
-    preproc = dream_network.image_preprocessing()
-    normalization = dream_network.image_normalization
-    variables = dream_network.variables
-    inference_fn = dream_network._inference_fn
+    net = dream_network
+    assert net.network_config["architecture"]["output_heads"] == [
+        "belief_maps"
+    ], "export supports the belief-map head networks (all shipped configs)."
+    net.init_variables()
+    net_input_res = net.trained_net_input_resolution()
+    preproc = net.image_preprocessing()
+    normalization = net.image_normalization
+    netin_res, netout_res = net.net_resolutions_from_image_raw_resolution(
+        raw_resolution
+    )
+    kp_to_raw = coord_ops.affine_raw_from_netin(
+        netin_res, raw_resolution, preproc
+    ).compose(coord_ops.affine_netin_from_netout(netout_res, netin_res))
+    offset = net.peak_offset_due_to_upsampling()
+    use_scores = net.use_belief_peak_scores
+    gap = net.belief_peak_next_best_score
+
+    if getattr(net, "_int8_model", None) is not None:
+        int8_model = net._int8_model
+        int8_vars = {"params": net._int8_params, "quant": net._int8_quant_vars}
+
+        def apply_model(net_in):
+            return int8_model.apply(int8_vars, net_in)
+
+    else:
+        variables = net.variables
+
+        def apply_model(net_in):
+            return net.apply_model(variables, net_in, train=False)[0]
 
     def run(raw_uint8):
         net_in = image_proc_ops.preprocess_and_normalize(
             raw_uint8, net_input_res, preproc, normalization
         )
-        return inference_fn(variables, net_in)
+        belief = jnp.moveaxis(apply_model(net_in)[-1], -1, 1)
+        keypoints, _ = bm_ops.keypoints_from_belief_maps(
+            belief, offset,
+            use_belief_peak_scores=use_scores,
+            belief_peak_next_best_score=gap,
+            decode_backend="xla",
+        )
+        return belief, kp_to_raw(keypoints)
 
     return run
 
@@ -72,7 +120,7 @@ def export_inference(
 
 
 def load_inference(data: bytes):
-    """Deserialize an artifact; returns ``call(raw_uint8) -> (belief, kps)``.
+    """Deserialize an artifact; returns ``call(raw_uint8) -> (belief, kps_raw)``.
 
     The only import a consumer needs is jax itself.
     """

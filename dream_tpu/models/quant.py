@@ -57,7 +57,57 @@ def _quantize_activations(x, amax):
     return x_q.astype(jnp.int8), s_x
 
 
-class QuantConv(nn.Module):
+class _QuantConvBase(nn.Module):
+    """Shared float/calibrate/int8 machinery for conv-like modules.
+
+    Subclasses declare the parameters and supply the lax conv kwargs; the
+    mode handling (amax bookkeeping, weight/activation quantization, int32
+    accumulation, dequant epilogue) lives here once.
+
+    Per-dispatch weight quantization note: the f32->int8 weight transform
+    runs inside the traced graph on every call.  For vgg-Q that is ~92 MB
+    of extra HBM reads + an elementwise pass (~0.1 ms) against ~10-100 ms
+    of conv work per batch — not worth precomputing at the cost of a second
+    param-tree format.
+    """
+
+    def _run(self, x, kernel, bias, conv_kwargs):
+        assert self.mode in ("float", "calibrate", "int8"), self.mode
+        if self.mode != "int8":
+            if self.mode == "calibrate":
+                amax = self.variable(
+                    "quant", "act_amax", lambda: jnp.zeros((), jnp.float32)
+                )
+                if not self.is_initializing():
+                    amax.value = jnp.maximum(
+                        amax.value, jnp.max(jnp.abs(x)).astype(jnp.float32)
+                    )
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                **conv_kwargs,
+            )
+            return y + bias.astype(self.dtype)
+
+        # int8 path.  Scales are f32 regardless of compute dtype.
+        amax = self.variable(
+            "quant", "act_amax", lambda: jnp.zeros((), jnp.float32)
+        )
+        x_q, s_x = _quantize_activations(x, amax.value)
+        w_q, s_w = _quantize_weights(kernel)
+        y_i32 = jax.lax.conv_general_dilated(
+            x_q,
+            w_q,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+            **conv_kwargs,
+        )
+        y = y_i32.astype(jnp.float32) * (s_x * s_w) + bias.astype(jnp.float32)
+        return y.astype(self.dtype)
+
+
+class QuantConv(_QuantConvBase):
     """Conv with torch-Conv2d padding/stride semantics and an int8 path.
 
     Parameter names/shapes are identical to ``nn.Conv`` (HWIO ``kernel`` +
@@ -76,55 +126,23 @@ class QuantConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        assert self.mode in ("float", "calibrate", "int8"), self.mode
         k = self.kernel_size
-        in_ch = x.shape[-1]
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
-            (k, k, in_ch, self.features),
+            (k, k, x.shape[-1], self.features),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        pad = ((self.padding, self.padding),) * 2
-        strides = (self.stride, self.stride)
-
-        if self.mode != "int8":
-            if self.mode == "calibrate":
-                amax = self.variable(
-                    "quant", "act_amax", lambda: jnp.zeros((), jnp.float32)
-                )
-                if not self.is_initializing():
-                    amax.value = jnp.maximum(
-                        amax.value, jnp.max(jnp.abs(x)).astype(jnp.float32)
-                    )
-            y = jax.lax.conv_general_dilated(
-                x.astype(self.dtype),
-                kernel.astype(self.dtype),
-                window_strides=strides,
-                padding=pad,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
-            return y + bias.astype(self.dtype)
-
-        # int8 path.  Scales are f32 regardless of compute dtype.
-        amax = self.variable(
-            "quant", "act_amax", lambda: jnp.zeros((), jnp.float32)
+        return self._run(
+            x, kernel, bias,
+            dict(
+                window_strides=(self.stride, self.stride),
+                padding=((self.padding, self.padding),) * 2,
+            ),
         )
-        x_q, s_x = _quantize_activations(x, amax.value)
-        w_q, s_w = _quantize_weights(kernel)
-        y_i32 = jax.lax.conv_general_dilated(
-            x_q,
-            w_q,
-            window_strides=strides,
-            padding=pad,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.int32,
-        )
-        y = y_i32.astype(jnp.float32) * (s_x * s_w) + bias.astype(jnp.float32)
-        return y.astype(self.dtype)
 
 
-class QuantConvTranspose(nn.Module):
+class QuantConvTranspose(_QuantConvBase):
     """torch ConvTranspose2d(k, s, p) semantics with an int8 path.
 
     Same fractionally-strided formulation as ``layers.TorchConvTranspose``
@@ -142,52 +160,21 @@ class QuantConvTranspose(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        assert self.mode in ("float", "calibrate", "int8"), self.mode
-        k, s, p = self.kernel_size, self.stride, self.padding
-        in_ch = x.shape[-1]
+        k, s_, p = self.kernel_size, self.stride, self.padding
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
-            (k, k, in_ch, self.features),
+            (k, k, x.shape[-1], self.features),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        pad = ((k - 1 - p, k - 1 - p),) * 2
-
-        if self.mode != "int8":
-            if self.mode == "calibrate":
-                amax = self.variable(
-                    "quant", "act_amax", lambda: jnp.zeros((), jnp.float32)
-                )
-                if not self.is_initializing():
-                    amax.value = jnp.maximum(
-                        amax.value, jnp.max(jnp.abs(x)).astype(jnp.float32)
-                    )
-            y = jax.lax.conv_general_dilated(
-                x.astype(self.dtype),
-                kernel.astype(self.dtype),
+        return self._run(
+            x, kernel, bias,
+            dict(
                 window_strides=(1, 1),
-                padding=pad,
-                lhs_dilation=(s, s),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
-            return y + bias.astype(self.dtype)
-
-        amax = self.variable(
-            "quant", "act_amax", lambda: jnp.zeros((), jnp.float32)
+                padding=((k - 1 - p, k - 1 - p),) * 2,
+                lhs_dilation=(s_, s_),
+            ),
         )
-        x_q, s_x = _quantize_activations(x, amax.value)
-        w_q, s_w = _quantize_weights(kernel)
-        y_i32 = jax.lax.conv_general_dilated(
-            x_q,
-            w_q,
-            window_strides=(1, 1),
-            padding=pad,
-            lhs_dilation=(s, s),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.int32,
-        )
-        y = y_i32.astype(jnp.float32) * (s_x * s_w) + bias.astype(jnp.float32)
-        return y.astype(self.dtype)
 
 
 def quant_conv3x3(features: int, name: str, mode: str, dtype: Any) -> QuantConv:

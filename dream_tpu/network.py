@@ -805,6 +805,7 @@ class DreamNetwork:
         assert n_frames > 0, "int8 calibration needs at least one batch."
         self._int8_quant_vars = qvars
         self._int8_params = int8_params
+        self._int8_model = int8_model
 
         offset = self.peak_offset_due_to_upsampling()
         use_scores = self.use_belief_peak_scores

@@ -148,25 +148,36 @@ class DreamInferenceServer:
         detected = detection["detected_keypoints"]
 
         if self.int8_calibration_frames and not self._int8_active:
+            calib = None
             with self._lock:
-                self._int8_calib_inputs.append(
-                    np.asarray(detection["image_rgb_net_input"])
-                )
-                ready = (
-                    len(self._int8_calib_inputs) >= self.int8_calibration_frames
-                )
-                if ready:
-                    calib = np.stack(self._int8_calib_inputs)
-                    # Quantize under the lock: replaces the network's jitted
-                    # inference paths, which concurrent handler threads read.
-                    self.network.enable_int8_inference([calib])
-                    self._int8_calib_inputs = []
+                # Re-check under the lock: another handler thread may have
+                # completed calibration while this frame was in flight.
+                if not self._int8_active and self._int8_calib_inputs is not None:
+                    self._int8_calib_inputs.append(
+                        np.asarray(detection["image_rgb_net_input"])
+                    )
+                    if (
+                        len(self._int8_calib_inputs)
+                        >= self.int8_calibration_frames
+                    ):
+                        calib = np.stack(self._int8_calib_inputs)
+                        # None marks calibration as claimed, so concurrent
+                        # frames neither buffer further nor calibrate twice.
+                        self._int8_calib_inputs = None
+            if calib is not None:
+                # The calibration compile can take minutes through the
+                # remote-compile relay — run it OUTSIDE the lock so status/
+                # pose endpoints stay responsive.  The inference-fn swap
+                # inside enable_int8_inference is a plain attribute store
+                # (atomic for concurrent readers).
+                self.network.enable_int8_inference([calib])
+                with self._lock:
                     self._int8_active = True
-                    if self.verbose:
-                        print(
-                            f"[serve] int8 inference active (calibrated on "
-                            f"{calib.shape[0]} frames)"
-                        )
+                if self.verbose:
+                    print(
+                        f"[serve] int8 inference active (calibrated on "
+                        f"{calib.shape[0]} frames)"
+                    )
 
         with self._lock:
             self.latest_detection = detection

@@ -63,9 +63,6 @@ def main():
     w, h = (int(v) for v in args.raw_resolution.lower().split("x"))
 
     if args.int8_calibration_dir:
-        import jax
-        import jax.numpy as jnp
-
         from dream_tpu import data as dream_data
         from dream_tpu.utils.ndds import find_ndds_data_in_dir, load_image_resolution
 
@@ -82,19 +79,13 @@ def main():
             raw_res, netin_res, netout_res, net.image_preprocessing(),
             net.image_normalization, augment=False, include_belief_maps=False,
         )
-        batches, n = [], 0
-        for host_batch in dream_data.DataLoader(dataset, 16, shuffle=False):
-            b = process(
-                jax.random.PRNGKey(0),
-                jnp.asarray(host_batch["image_rgb_raw"]),
-                jnp.asarray(host_batch["keypoint_projections_raw"]),
+        net.enable_int8_inference(
+            dream_data.collect_calibration_batches(
+                dataset, process, args.int8_calibration_frames
             )
-            batches.append(b["image_rgb_input"])
-            n += int(b["image_rgb_input"].shape[0])
-            if n >= args.int8_calibration_frames:
-                break
-        net.enable_int8_inference(batches)
-        print(f"int8 calibrated on {n} frames from {args.int8_calibration_dir}")
+        )
+        print(f"int8 calibrated on {args.int8_calibration_frames} frames "
+              f"from {args.int8_calibration_dir}")
 
     platforms = args.platforms.split(",") if args.platforms else None
     data = export_inference(net, (w, h), args.batch_size, platforms=platforms)
@@ -108,19 +99,14 @@ def main():
         call = load_inference(data)
         rng = np.random.RandomState(0)
         frames = rng.randint(0, 255, size=(args.batch_size, h, w, 3), dtype=np.uint8)
-        belief, kps = call(frames)
-        import jax.numpy as jnp  # noqa: F811
-
-        ref_belief, ref_kps = net.inference(
-            __import__("dream_tpu.ops.image_proc", fromlist=["x"])
-            .preprocess_and_normalize(
-                jnp.asarray(frames), net.trained_net_input_resolution(),
-                net.image_preprocessing(), net.image_normalization,
-            )
-        )
-        kp_delta = float(np.max(np.abs(np.asarray(kps) - np.asarray(ref_kps))))
-        print(f"self-test: max keypoint delta vs live network = {kp_delta:.2e}")
-        assert kp_delta < 1e-3
+        _, kps = call(frames)
+        # The artifact returns raw-frame coords — compare against the live
+        # per-frame pipeline (keypoints_from_image), same contract.
+        ref0 = net.keypoints_from_image(frames[0])["detected_keypoints"]
+        kp_delta = float(np.max(np.abs(np.asarray(kps[0]) - ref0)))
+        print(f"self-test: max raw-frame keypoint delta vs live network = "
+              f"{kp_delta:.2e}")
+        assert kp_delta < 1e-2
         print("self-test OK")
 
 

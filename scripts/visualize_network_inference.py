@@ -144,22 +144,14 @@ def _ndds_frames(net, dataset_dir, start, end, batch_size, num_workers,
     if int8_calibration_frames:
         # Quantize the conv stack to int8, calibrating on the first frames
         # of the selected range (dream_tpu extension; 2x MXU rate on v5e).
-        calib_batches, n_calib = [], 0
-        for host_batch in dream_data.DataLoader(
-            dataset, batch_size, shuffle=False, drop_last=False,
-            indices=indices,
-        ):
-            b = process(
-                jax.random.PRNGKey(0),
-                jnp.asarray(host_batch["image_rgb_raw"]),
-                jnp.asarray(host_batch["keypoint_projections_raw"]),
+        net.enable_int8_inference(
+            dream_data.collect_calibration_batches(
+                dataset, process, int8_calibration_frames, batch_size,
+                indices=indices,
             )
-            calib_batches.append(b["image_rgb_input"])
-            n_calib += int(b["image_rgb_input"].shape[0])
-            if n_calib >= int8_calibration_frames:
-                break
-        net.enable_int8_inference(calib_batches)
-        print(f"int8 inference active (calibrated on {n_calib} frames)")
+        )
+        print(f"int8 inference active "
+              f"(calibrated on {int8_calibration_frames} frames)")
 
     for host_batch in loader:
         batch = process(

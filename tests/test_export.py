@@ -1,7 +1,8 @@
 """jax.export inference-artifact tests (dream_tpu/export.py).
 
-The artifact must be self-contained (weights as constants), reproduce the
-live network's outputs exactly, and support int8-quantized pipelines.
+The artifact must be self-contained (weights as constants), return
+RAW-frame keypoint coords matching the live per-frame pipeline, use the
+portable XLA decode, and support int8-quantized pipelines.
 """
 
 import numpy as np
@@ -10,16 +11,15 @@ import jax.numpy as jnp
 
 from dream_tpu.export import export_inference, load_inference
 from dream_tpu.network import DreamNetwork
-from dream_tpu.ops.image_proc import preprocess_and_normalize
 from tests.test_network import _vgg_config
 
 
-def _reference_outputs(net, frames):
-    net_in = preprocess_and_normalize(
-        jnp.asarray(frames), net.trained_net_input_resolution(),
-        net.image_preprocessing(), net.image_normalization,
-    )
-    return net.inference(net_in)
+def _live_raw_keypoints(net, frames):
+    """Per-frame live pipeline (keypoints_from_image) — the contract the
+    artifact must reproduce."""
+    return np.stack([
+        net.keypoints_from_image(f)["detected_keypoints"] for f in frames
+    ])
 
 
 def test_export_roundtrip_matches_live_network():
@@ -33,11 +33,14 @@ def test_export_roundtrip_matches_live_network():
     rng = np.random.RandomState(0)
     frames = rng.randint(0, 255, size=(2, 96, 128, 3), dtype=np.uint8)
     belief, kps = call(frames)
-    ref_belief, ref_kps = _reference_outputs(net, frames)
+    assert belief.shape[:2] == (2, 4)
+    ref_kps = _live_raw_keypoints(net, frames)
+    # Sentinel no-detections must stay below the reference's -999 check.
+    detected = ref_kps > -999.0
+    np.testing.assert_array_equal(np.asarray(kps) > -999.0, detected)
     np.testing.assert_allclose(
-        np.asarray(belief), np.asarray(ref_belief), atol=1e-5
+        np.asarray(kps)[detected], ref_kps[detected], atol=1e-3
     )
-    np.testing.assert_allclose(np.asarray(kps), np.asarray(ref_kps), atol=1e-4)
 
 
 def test_export_int8_pipeline():
@@ -53,8 +56,23 @@ def test_export_int8_pipeline():
     call = load_inference(data)
     frames = rng.randint(0, 255, size=(1, 96, 128, 3), dtype=np.uint8)
     belief, kps = call(frames)
-    ref_belief, ref_kps = _reference_outputs(net, frames)
+    ref_kps = _live_raw_keypoints(net, frames)  # int8 live path (enabled)
+    detected = ref_kps > -999.0
+    np.testing.assert_array_equal(np.asarray(kps) > -999.0, detected)
     np.testing.assert_allclose(
-        np.asarray(belief), np.asarray(ref_belief), atol=1e-5
+        np.asarray(kps)[detected], ref_kps[detected], atol=1e-3
     )
-    np.testing.assert_allclose(np.asarray(kps), np.asarray(ref_kps), atol=1e-4)
+
+
+def test_export_cpu_platform_explicit():
+    """Explicit --platforms lowering must produce a loadable artifact (the
+    exported graph uses the portable XLA decode, never pallas_call)."""
+    net = DreamNetwork(_vgg_config())
+    net.init_variables(seed=0)
+    data = export_inference(
+        net, raw_resolution=(64, 64), batch_size=1, platforms=["cpu"]
+    )
+    call = load_inference(data)
+    frames = np.zeros((1, 64, 64, 3), np.uint8)
+    belief, kps = call(frames)
+    assert np.asarray(kps).shape == (1, 4, 2)
