@@ -38,6 +38,51 @@ from typing import Optional
 import numpy as np
 
 
+class ArtifactInference:
+    """Network-like adapter that serves a jax.export artifact
+    (dream_tpu/export.py) — deserialized StableHLO + the manipulator's
+    keypoint names.  At serving time only jax and the artifact file are
+    needed: no checkpoint, flax model code, or weights on disk.
+
+    The artifact returns raw-frame keypoint coords directly, so the
+    server's PnP/pose path is unchanged.  Soft-detection PnP and online
+    int8 calibration are unavailable (the artifact bakes hard detections
+    and its quantization choice at export time).
+    """
+
+    def __init__(self, artifact_path, keypoint_names, friendly_names=None):
+        from jax import export as jax_export
+
+        with open(artifact_path, "rb") as f:
+            self._exported = jax_export.deserialize(f.read())
+        aval = self._exported.in_avals[0]
+        self._batch, self._h, self._w = aval.shape[0], aval.shape[1], aval.shape[2]
+        self.keypoint_names = list(keypoint_names)
+        self.friendly_keypoint_names = list(friendly_names or keypoint_names)
+        self.n_keypoints = len(self.keypoint_names)
+
+    def enable_evaluation(self):
+        pass
+
+    def keypoints_from_image(self, image, image_preprocessing_override=None,
+                             debug=False, detailed=False):
+        assert not detailed, (
+            "soft-detection PnP needs the full network; the artifact "
+            "exports the disambiguated detections only."
+        )
+        arr = np.asarray(image, dtype=np.uint8)
+        assert arr.shape == (self._h, self._w, 3), (
+            f"artifact expects {self._h}x{self._w} RGB frames, got {arr.shape}"
+        )
+        batch = np.zeros((self._batch, self._h, self._w, 3), np.uint8)
+        batch[0] = arr
+        belief, kps = self._exported.call(batch)
+        result = {"detected_keypoints": np.asarray(kps[0], dtype=float)}
+        if debug:
+            result["belief_maps"] = np.asarray(belief[0])
+        return result
+
+
 class DreamInferenceServer:
     """Framework core of the serving node (transport-agnostic, fully testable).
 
@@ -317,6 +362,10 @@ class DreamInferenceServer:
             return None
 
         if stream == "net_input_image":
+            # Unavailable when serving a jax.export artifact (the net input
+            # exists only inside the compiled graph).
+            if detection.get("image_rgb_net_input") is None:
+                return None
             return viz.image_from_tensor(
                 detection["image_rgb_net_input"],
                 self.network.image_normalization,

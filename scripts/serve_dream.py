@@ -28,8 +28,18 @@ def main():
     parser = argparse.ArgumentParser(
         formatter_class=argparse.ArgumentDefaultsHelpFormatter
     )
-    parser.add_argument("-i", "--input-params-path", required=True)
+    parser.add_argument("-i", "--input-params-path", default=None,
+                        help="Checkpoint to serve (required unless "
+                             "--artifact).")
     parser.add_argument("-c", "--network-config", default=None)
+    parser.add_argument("--artifact", default=None,
+                        help="Serve a jax.export artifact "
+                             "(scripts/export_inference.py) instead of a "
+                             "checkpoint — needs only jax at serving time; "
+                             "requires --manip-config for keypoint names.")
+    parser.add_argument("-m", "--manip-config", default=None,
+                        help="Manipulator YAML (keypoint names) when "
+                             "serving an --artifact.")
     parser.add_argument("-b", "--base-frame", required=True,
                         help="Robot base frame name for the published pose.")
     parser.add_argument("-p", "--port", type=int, default=8080)
@@ -64,10 +74,29 @@ def main():
     parser.add_argument("-v", "--verbose", action="store_true", default=False)
     args = parser.parse_args()
 
-    network_config_path = args.network_config or os.path.splitext(
-        args.input_params_path
-    )[0] + ".yaml"
-    net = create_network_from_config_file(network_config_path, args.input_params_path)
+    if args.artifact:
+        assert args.manip_config, "--artifact requires --manip-config"
+        assert not args.int8_calibration_frames and not args.pnp_soft_detections, (
+            "online int8 calibration / soft detections need the full "
+            "network; the artifact bakes these choices at export time."
+        )
+        from dream_tpu.serve import ArtifactInference
+        from dream_tpu.utils.config import load_yaml
+
+        manip = load_yaml(args.manip_config)["manipulator"]
+        net = ArtifactInference(
+            args.artifact,
+            [k["name"] for k in manip["keypoints"]],
+            [k.get("friendly_name", k["name"]) for k in manip["keypoints"]],
+        )
+    else:
+        assert args.input_params_path, "-i/--input-params-path is required"
+        network_config_path = args.network_config or os.path.splitext(
+            args.input_params_path
+        )[0] + ".yaml"
+        net = create_network_from_config_file(
+            network_config_path, args.input_params_path
+        )
 
     server = DreamInferenceServer(
         net,

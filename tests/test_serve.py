@@ -342,3 +342,43 @@ def test_serve_online_int8_calibration():
     # Disabled by default.
     off = DreamInferenceServer(net, base_frame="base")
     assert off.get_status()["int8"] == "off"
+
+
+def test_serve_from_export_artifact(tmp_path):
+    """Serving a jax.export artifact: no checkpoint/model code at serving
+    time — the adapter feeds the server raw-frame detections and belief
+    maps (dream_tpu/export.py + ArtifactInference)."""
+    from dream_tpu.export import export_inference
+    from dream_tpu.serve import ArtifactInference
+
+    net = DreamNetwork(_vgg_config())
+    net.init_variables(seed=0)
+    artifact = tmp_path / "net.jaxexport"
+    artifact.write_bytes(export_inference(net, raw_resolution=(128, 96),
+                                          batch_size=1))
+
+    adapter = ArtifactInference(
+        str(artifact), [f"kp{i}" for i in range(4)]
+    )
+    assert adapter.n_keypoints == 4
+    server = DreamInferenceServer(adapter, base_frame="base")
+    image = np.zeros((96, 128, 3), np.uint8)
+    status = server.process_image(image)
+    assert status["frame"] == 1 and status["pnp"] is False
+
+    # Detection contract matches the live network exactly.
+    live = net.keypoints_from_image(image)["detected_keypoints"]
+    art = server.latest_detection["detected_keypoints"]
+    detected = live > -999.0
+    np.testing.assert_array_equal(art > -999.0, detected)
+    np.testing.assert_allclose(art[detected], live[detected], atol=1e-3)
+
+    # Debug streams: belief maps render; the net-input stream degrades to
+    # None (it exists only inside the compiled graph).
+    assert server.render_debug("belief_maps") is not None
+    assert server.render_debug("keypoint_overlay") is not None
+    assert server.render_debug("net_input_image") is None
+
+    # Wrong-resolution frames are rejected, not silently resized.
+    with pytest.raises(AssertionError):
+        server.process_image(np.zeros((64, 64, 3), np.uint8))
