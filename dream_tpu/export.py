@@ -125,3 +125,34 @@ def load_inference(data: bytes):
     The only import a consumer needs is jax itself.
     """
     return jax_export.deserialize(data).call
+
+
+def artifact_metadata(
+    dream_network, raw_resolution: Tuple[int, int], batch_size: int
+) -> dict:
+    """Self-description sidecar for an exported artifact (written as
+    ``<artifact>.meta.json`` by the export CLI): everything a serving
+    process needs beyond the StableHLO itself — keypoint names, the
+    manipulator, input contract, and detection sentinel semantics.  The
+    artifact file stays pure StableHLO so bare ``jax.export.deserialize``
+    consumers are unaffected.
+    """
+    net = dream_network
+    w, h = raw_resolution
+    return {
+        "format": "dream_tpu.jaxexport.v1",
+        "manipulator": net.manipulator_name,
+        "keypoint_names": list(net.keypoint_names),
+        "friendly_keypoint_names": list(net.friendly_keypoint_names),
+        "input": {
+            "shape": [batch_size, h, w, 3],
+            "dtype": "uint8",
+            "raw_resolution_wh": [w, h],
+        },
+        "outputs": [
+            "belief_maps [B, n_kp, h_out, w_out] float32",
+            "keypoints_raw [B, n_kp, 2] float32 (sentinel: < -999 = no detection)",
+        ],
+        "int8": getattr(net, "_int8_model", None) is not None,
+        "architecture": net.network_config["architecture"]["type"],
+    }

@@ -50,13 +50,28 @@ class ArtifactInference:
     and its quantization choice at export time).
     """
 
-    def __init__(self, artifact_path, keypoint_names, friendly_names=None):
+    def __init__(self, artifact_path, keypoint_names=None, friendly_names=None):
+        import json
+        import os
+
         from jax import export as jax_export
 
         with open(artifact_path, "rb") as f:
             self._exported = jax_export.deserialize(f.read())
         aval = self._exported.in_avals[0]
         self._batch, self._h, self._w = aval.shape[0], aval.shape[1], aval.shape[2]
+        if keypoint_names is None:
+            # The export CLI writes a <artifact>.meta.json sidecar with the
+            # manipulator's keypoint names.
+            meta_path = artifact_path + ".meta.json"
+            assert os.path.exists(meta_path), (
+                "keypoint_names not given and no metadata sidecar found at "
+                f"{meta_path}"
+            )
+            with open(meta_path) as f:
+                meta = json.load(f)
+            keypoint_names = meta["keypoint_names"]
+            friendly_names = friendly_names or meta.get("friendly_keypoint_names")
         self.keypoint_names = list(keypoint_names)
         self.friendly_keypoint_names = list(friendly_names or keypoint_names)
         self.n_keypoints = len(self.keypoint_names)

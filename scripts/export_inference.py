@@ -91,9 +91,16 @@ def main():
     data = export_inference(net, (w, h), args.batch_size, platforms=platforms)
     with open(args.output_path, "wb") as f:
         f.write(data)
+    import json
+
+    from dream_tpu.export import artifact_metadata
+
+    meta_path = args.output_path + ".meta.json"
+    with open(meta_path, "w") as f:
+        json.dump(artifact_metadata(net, (w, h), args.batch_size), f, indent=2)
     print(f"wrote {args.output_path}: {len(data) / 1e6:.1f} MB, "
           f"input uint8[{args.batch_size},{h},{w},3], "
-          f"platforms={platforms or 'current backend'}")
+          f"platforms={platforms or 'current backend'}; sidecar {meta_path}")
 
     if args.self_test:
         call = load_inference(data)

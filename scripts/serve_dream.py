@@ -75,20 +75,24 @@ def main():
     args = parser.parse_args()
 
     if args.artifact:
-        assert args.manip_config, "--artifact requires --manip-config"
         assert not args.int8_calibration_frames and not args.pnp_soft_detections, (
             "online int8 calibration / soft detections need the full "
             "network; the artifact bakes these choices at export time."
         )
         from dream_tpu.serve import ArtifactInference
-        from dream_tpu.utils.config import load_yaml
 
-        manip = load_yaml(args.manip_config)["manipulator"]
-        net = ArtifactInference(
-            args.artifact,
-            [k["name"] for k in manip["keypoints"]],
-            [k.get("friendly_name", k["name"]) for k in manip["keypoints"]],
-        )
+        if args.manip_config:
+            from dream_tpu.utils.config import load_yaml
+
+            manip = load_yaml(args.manip_config)["manipulator"]
+            net = ArtifactInference(
+                args.artifact,
+                [k["name"] for k in manip["keypoints"]],
+                [k.get("friendly_name", k["name"]) for k in manip["keypoints"]],
+            )
+        else:
+            # Keypoint names come from the <artifact>.meta.json sidecar.
+            net = ArtifactInference(args.artifact)
     else:
         assert args.input_params_path, "-i/--input-params-path is required"
         network_config_path = args.network_config or os.path.splitext(

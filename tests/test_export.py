@@ -76,3 +76,27 @@ def test_export_cpu_platform_explicit():
     frames = np.zeros((1, 64, 64, 3), np.uint8)
     belief, kps = call(frames)
     assert np.asarray(kps).shape == (1, 4, 2)
+
+
+def test_artifact_metadata_sidecar(tmp_path):
+    """Sidecar self-description + ArtifactInference fallback to it."""
+    import json
+
+    from dream_tpu.export import artifact_metadata
+    from dream_tpu.serve import ArtifactInference
+
+    net = DreamNetwork(_vgg_config())
+    net.init_variables(seed=0)
+    meta = artifact_metadata(net, (128, 96), 1)
+    assert meta["keypoint_names"] == [f"kp{i}" for i in range(4)]
+    assert meta["input"]["shape"] == [1, 96, 128, 3]
+    assert meta["int8"] is False
+
+    artifact = tmp_path / "net.jaxexport"
+    artifact.write_bytes(
+        export_inference(net, raw_resolution=(128, 96), batch_size=1)
+    )
+    (tmp_path / "net.jaxexport.meta.json").write_text(json.dumps(meta))
+    adapter = ArtifactInference(str(artifact))  # names from sidecar
+    assert adapter.keypoint_names == meta["keypoint_names"]
+    assert adapter.friendly_keypoint_names == ["KP0", "KP1", "KP2", "KP3"]
