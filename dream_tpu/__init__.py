@@ -53,6 +53,7 @@ def __getattr__(name):
         "serve": "dream_tpu.serve",
         "visualize": "dream_tpu.visualize",
         "parallel": "dream_tpu.parallel",
+        "export": "dream_tpu.export",
     }
     if name in lazy_modules:
         return importlib.import_module(lazy_modules[name])
