@@ -45,6 +45,11 @@ def main():
                         help="Deserialize the artifact and compare against "
                              "the live network on random frames (requires "
                              "the current backend to be an export target).")
+    parser.add_argument("--bench-trials", type=int, default=0,
+                        help="If >0, time the deserialized artifact on the "
+                             "current backend (median of N trials of 8 "
+                             "dispatches each) and report fps alongside the "
+                             "live-jit pipeline for the same batch.")
     args = parser.parse_args()
 
     import numpy as np
@@ -115,6 +120,36 @@ def main():
               f"{kp_delta:.2e}")
         assert kp_delta < 1e-2
         print("self-test OK")
+
+    if args.bench_trials > 0:
+        import time
+
+        import jax
+
+        call = jax.jit(load_inference(data))
+        rng = np.random.RandomState(1)
+        frames = rng.randint(0, 255, size=(args.batch_size, h, w, 3), dtype=np.uint8)
+        dev_frames = jax.device_put(frames)
+
+        def sync(out):
+            # Host transfer is the only reliable sync through the axon relay
+            # (and the real consumer contract for keypoints).
+            np.asarray(out[1])
+
+        sync(call(dev_frames))  # warm-up / compile
+        n_dispatch = 8
+        fps = []
+        for _ in range(args.bench_trials):
+            t0 = time.time()
+            out = None
+            for _ in range(n_dispatch):
+                out = call(dev_frames)
+            sync(out)
+            fps.append(args.batch_size * n_dispatch / (time.time() - t0))
+        print(f"artifact bench ({jax.default_backend()}, b={args.batch_size}, "
+              f"{args.bench_trials} trials x {n_dispatch} dispatches): "
+              f"median {np.median(fps):.1f} fps "
+              f"(trials: {[round(f, 1) for f in fps]})")
 
 
 if __name__ == "__main__":
