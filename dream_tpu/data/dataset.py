@@ -538,13 +538,21 @@ def collect_calibration_batches(dataset, process, n_frames, batch_size=16,
     import jax.numpy as jnp
 
     batches, n = [], 0
+    n_kp = len(dataset.keypoint_names)
     for host_batch in DataLoader(
         dataset, batch_size, shuffle=False, drop_last=False, indices=indices
     ):
+        images = jnp.asarray(host_batch["image_rgb_raw"])
+        # Calibration only consumes the net-input images; datasets built
+        # with include_ground_truth=False (the export CLI) carry no
+        # keypoint keys, so feed the processor placeholder coords.
+        kp_raw = host_batch.get("keypoint_projections_raw")
+        if kp_raw is None:
+            kp_raw = np.zeros((images.shape[0], n_kp, 2), dtype=np.float32)
         b = process(
             jax.random.PRNGKey(0),
-            jnp.asarray(host_batch["image_rgb_raw"]),
-            jnp.asarray(host_batch["keypoint_projections_raw"]),
+            images,
+            jnp.asarray(kp_raw),
         )
         batches.append(b["image_rgb_input"])
         n += int(b["image_rgb_input"].shape[0])
