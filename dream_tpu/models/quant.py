@@ -28,6 +28,18 @@ Usage: build the model with ``quant_mode='calibrate'``, run
 ``model.apply(vars, x, mutable=['quant'])`` over calibration batches, then
 rebuild with ``quant_mode='int8'`` and apply with the merged variables.
 ``DreamNetwork.enable_int8_inference`` wraps this.
+
+**QAT** (``quant_mode='qat'``): quantization-aware training for when PTQ's
+small ADD-AUC cost matters.  The forward fake-quantizes weights
+(per-output-channel) and activations (per-batch dynamic amax) through a
+straight-through-estimator round — the conv contracts the integer-valued
+arrays exactly as the int8 deploy graph will, but in the float domain, so
+``jax.grad`` flows through the whole training step unchanged and the fused
+/ scanned-epoch dispatchers need no mutable quant state.  Scales are
+``stop_gradient`` constants (standard min-max QAT).  A qat-trained
+checkpoint is then deployed through the ordinary calibrate->int8 PTQ path;
+the weights have learned to sit on the int8 grid, so the deploy-time
+quantization error is what training already optimized against.
 """
 
 from __future__ import annotations
@@ -39,8 +51,13 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 # Calibration/quantized modes threaded through the model as a static
-# module attribute ('calibrate' | 'int8' | None).
-QUANT_MODES = (None, "calibrate", "int8")
+# module attribute ('calibrate' | 'int8' | 'qat' | None).
+QUANT_MODES = (None, "calibrate", "int8", "qat")
+
+
+def _ste_round(x):
+    """Round with a straight-through gradient (identity backward)."""
+    return x + jax.lax.stop_gradient(jnp.round(x) - x)
 
 
 def _quantize_weights(kernel):
@@ -72,7 +89,34 @@ class _QuantConvBase(nn.Module):
     """
 
     def _run(self, x, kernel, bias, conv_kwargs):
-        assert self.mode in ("float", "calibrate", "int8"), self.mode
+        assert self.mode in ("float", "calibrate", "int8", "qat"), self.mode
+        if self.mode == "qat":
+            # Fake-quantize into the integer domain (STE round, saturating
+            # clip) and contract the integer-valued arrays — same numerics
+            # the int8 deploy graph sees, but differentiable and stateless.
+            # Scales come from the CURRENT batch/weights via stop_gradient.
+            w32 = kernel.astype(jnp.float32)
+            s_w = jnp.maximum(
+                jax.lax.stop_gradient(jnp.max(jnp.abs(w32), axis=(0, 1, 2))),
+                1e-12,
+            ) / 127.0
+            w_q = jnp.clip(_ste_round(w32 / s_w), -127.0, 127.0)
+            x32 = x.astype(jnp.float32)
+            s_x = jnp.maximum(
+                jax.lax.stop_gradient(jnp.max(jnp.abs(x32))), 1e-12
+            ) / 127.0
+            x_q = jnp.clip(_ste_round(x32 / s_x), -127.0, 127.0)
+            # Integer values <= 127 are exact in bfloat16 (8-bit significand)
+            # and the MXU accumulates in float32, so the compute dtype is
+            # safe here.
+            y = jax.lax.conv_general_dilated(
+                x_q.astype(self.dtype),
+                w_q.astype(self.dtype),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+                **conv_kwargs,
+            ) * (s_x * s_w) + bias.astype(jnp.float32)
+            return y.astype(self.dtype)
         if self.mode != "int8":
             if self.mode == "calibrate":
                 amax = self.variable(

@@ -162,9 +162,22 @@ class DreamNetwork:
             "float32": jnp.float32,
             "bfloat16": jnp.bfloat16,
         }[compute_dtype_name]
+        # Optional training-time quantization mode (TPU-native extension).
+        # 'qat' fake-quantizes every quantizable conv in the training graph
+        # (models/quant.py) so deploy-time int8 PTQ costs ~nothing; vgg
+        # architectures only — resnet trains through BatchNorm and is
+        # quantized post-hoc on the BN-folded deploy graph instead.
+        self.quant_mode = arch.get("quant_mode")
+        assert self.quant_mode in (None, "qat"), (
+            f'architecture "quant_mode" must be null or "qat", got '
+            f"{self.quant_mode!r} (calibrate/int8 are inference-time modes "
+            "driven by enable_int8_inference)."
+        )
         self._arch_kwargs: Dict[str, Any] = {}
         if self.architecture_type == "vgg":
             vgg_kwargs: Dict[str, Any] = {}
+            if self.quant_mode:
+                vgg_kwargs["quant_mode"] = self.quant_mode
             if "spatial_softmax" in arch:
                 assert arch["output_heads"] == ["belief_maps", "keypoints"]
                 vgg_kwargs.update(
@@ -204,6 +217,11 @@ class DreamNetwork:
 
         else:  # resnet
             assert arch["output_heads"] == ["belief_maps"]
+            assert self.quant_mode is None, (
+                "QAT applies to vgg architectures; resnet is quantized "
+                "post-hoc on the BN-folded deploy graph "
+                "(enable_int8_inference)."
+            )
             resnet_kwargs = {}
             if "full_decoder" in arch:
                 resnet_kwargs["full"] = arch["full_decoder"]

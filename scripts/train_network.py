@@ -257,6 +257,14 @@ def train_network(args):
         # the same policy.
         architecture_config["compute_dtype"] = args.compute_dtype
 
+    if args.quant_mode:
+        # Quantization-aware training (vgg only): every quantizable conv
+        # fake-quantizes weights+activations through an STE round
+        # (models/quant.py 'qat'), so the deploy-time int8 PTQ graph sees
+        # weights already trained on the int8 grid.  Recorded in the sidecar
+        # so resumed runs and later inference share the policy.
+        architecture_config["quant_mode"] = args.quant_mode
+
     try:
         user = os.getlogin()
     except Exception:
@@ -746,6 +754,12 @@ def make_parser():
                              "optimizer state and the loss stay float32). "
                              "Default: the architecture config's value "
                              "(float32 if unset).")
+    parser.add_argument("--quant-mode", choices=["qat"], default=None,
+                        help="Quantization-aware training (vgg only): "
+                             "fake-quantize conv weights+activations with "
+                             "straight-through-estimator rounds so deploy "
+                             "int8 PTQ costs ~no accuracy. Default: the "
+                             "architecture config's value (off).")
     parser.add_argument("--loss-pos-weight", type=float, default=None,
                         help="If set, train with the weighted-MSE criterion "
                              "(pixel weight 1 + (W-1)*target): removes the "

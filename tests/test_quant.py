@@ -225,6 +225,104 @@ def test_resnet_bn_fold_exact():
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
 
 
+# ---------------------------------------------------------------------------
+# QAT (quant_mode='qat'): fake-quant forward + STE gradients.
+
+
+def test_quantconv_qat_matches_int8_numerics():
+    """With the int8 path's amax set to the batch amax (qat's dynamic
+    choice), the qat forward must reproduce the int8 forward — same integer
+    grid, float vs int32 accumulation only."""
+    key = jax.random.PRNGKey(4)
+    x = jax.random.uniform(key, (2, 8, 8, 5), minval=-2.0, maxval=2.0)
+    qat = QuantConv(7, kernel_size=3, padding=1, mode="qat")
+    variables = qat.init(key, x)
+    assert "quant" not in variables  # qat is stateless
+    got = np.asarray(qat.apply(variables, x))
+
+    int8 = QuantConv(7, kernel_size=3, padding=1, mode="int8")
+    int8_vars = {
+        "params": variables["params"],
+        "quant": {"act_amax": jnp.max(jnp.abs(x)).astype(jnp.float32)},
+    }
+    want = np.asarray(int8.apply(int8_vars, x))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
+
+
+def test_quantconv_qat_gradients_flow_like_float():
+    """STE: gradients through the fake-quant conv are finite, nonzero, and
+    near-parallel to the plain float conv's gradients."""
+    key = jax.random.PRNGKey(5)
+    x = jax.random.uniform(jax.random.PRNGKey(6), (2, 8, 8, 3), minval=-1, maxval=1)
+    qat = QuantConv(4, mode="qat")
+    variables = qat.init(key, x)
+    flt = QuantConv(4, mode="float")
+
+    def loss(mode_conv, params, xx):
+        return jnp.sum(mode_conv.apply({"params": params}, xx) ** 2)
+
+    g_qat = jax.grad(lambda p: loss(qat, p, x))(variables["params"])
+    g_flt = jax.grad(lambda p: loss(flt, p, x))(variables["params"])
+    for name in ("kernel", "bias"):
+        gq = np.asarray(g_qat[name], np.float64).ravel()
+        gf = np.asarray(g_flt[name], np.float64).ravel()
+        assert np.all(np.isfinite(gq)) and np.linalg.norm(gq) > 0
+        cos = gq @ gf / (np.linalg.norm(gq) * np.linalg.norm(gf))
+        assert cos > 0.98, (name, cos)
+    # Input gradient flows too (decoder convs feed earlier layers).
+    g_x = jax.grad(lambda xx: loss(qat, variables["params"], xx))(x)
+    assert np.all(np.isfinite(np.asarray(g_x))) and float(jnp.abs(g_x).sum()) > 0
+
+
+def test_network_qat_training_then_int8_deploy():
+    """End-to-end QAT: a vgg net with architecture quant_mode='qat' trains
+    (loss drops), its checkpoint tree matches the float tree, and the
+    qat-trained params deploy through the standard int8 PTQ path with a
+    forward that tracks the qat training forward."""
+    from dream_tpu.ops.belief_maps import create_belief_maps
+
+    cfg = _vgg_config()
+    cfg["architecture"]["quant_mode"] = "qat"
+    net = DreamNetwork(cfg)
+    net.enable_training()
+
+    rng = np.random.RandomState(7)
+    images = jnp.array(rng.rand(2, 64, 64, 3).astype(np.float32))
+    kp_netout = jnp.array([[[4.0, 4.0], [10.0, 4.0], [4.0, 10.0], [9.0, 9.0]]] * 2)
+    target = create_belief_maps(kp_netout, (16, 16))
+
+    first_loss = float(net.train([images], target))
+    for _ in range(60):
+        loss = net.train([images], target)
+    assert float(loss) < first_loss, (first_loss, float(loss))
+
+    # Same param tree as a float net: QAT checkpoints are ordinary
+    # checkpoints.
+    float_net = DreamNetwork(_vgg_config())
+    float_net.init_variables(seed=0)
+    assert jax.tree.structure(net.variables["params"]) == jax.tree.structure(
+        float_net.variables["params"]
+    )
+
+    qat_belief, _ = net.inference(images)
+    calib = [images]
+    net.enable_int8_inference(calib)
+    int8_belief, _ = net.inference(images)
+    cc = np.corrcoef(
+        np.asarray(qat_belief).ravel(), np.asarray(int8_belief).ravel()
+    )[0, 1]
+    assert cc > 0.99, cc
+
+
+def test_network_qat_rejected_for_resnet():
+    cfg = _vgg_config()
+    cfg["architecture"]["type"] = "resnet"
+    cfg["architecture"]["layers"] = [1, 1, 1, 1]
+    cfg["architecture"]["quant_mode"] = "qat"
+    with pytest.raises(AssertionError, match="BN-folded"):
+        DreamNetwork(cfg)
+
+
 def test_resnet_deploy_int8_tracks_float():
     from dream_tpu.models.resnet_deploy import (
         ResnetSimpleDeploy, fold_batchnorm_resnet,
