@@ -45,6 +45,42 @@ _CANONICAL_CHAIN = np.array(
     ]
 )
 
+# Max centered radius of the 7-point canonical chain; larger chains scale the
+# camera distance by (radius / this) so the rendered robot subtends a similar
+# image fraction regardless of keypoint count.
+_CANONICAL_RADIUS = 0.5172
+
+
+def chain_points(n_keypoints: int) -> np.ndarray:
+    """Deterministic [n, 3] keypoint chain for any keypoint count.
+
+    The single source of truth for the synthetic manipulator geometry, used
+    by both :func:`render_random_scene` and :func:`generate_synthetic_ndds`
+    (previously the former truncated to 7 points while the latter
+    extrapolated — inconsistent for kuka/baxter-scale counts).  The first 7
+    points are the panda-like canonical chain; further points (kuka's 8,
+    baxter's 17 — reference manip_configs/{kuka,baxter}.yaml) continue along
+    a gentle helix so no subset of keypoints is collinear (collinear
+    extensions would degrade the PnP geometry the datasets exist to test).
+    """
+    assert n_keypoints >= 1, n_keypoints
+    base = _CANONICAL_CHAIN
+    if n_keypoints <= len(base):
+        return base[:n_keypoints].copy()
+    i = np.arange(1, n_keypoints - len(base) + 1, dtype=np.float64)
+    ext = base[-1] + np.stack(
+        [0.06 * i, 0.12 * np.sin(0.7 * i), 0.10 * np.cos(0.7 * i) - 0.10],
+        axis=1,
+    )
+    return np.concatenate([base, ext])
+
+
+def _camera_distance_scale(chain: np.ndarray) -> float:
+    """Camera z-range multiplier keeping big chains framed like the panda."""
+    centered = chain - chain.mean(axis=0)
+    radius = float(np.linalg.norm(centered, axis=1).max())
+    return max(1.0, radius / _CANONICAL_RADIUS)
+
 
 def _rotation_matrix(rng: np.random.RandomState) -> np.ndarray:
     axis = rng.randn(3)
@@ -152,7 +188,10 @@ def _render_frame(
     for a, b in zip(kp_projs[:-1], kp_projs[1:]):
         img = _paint_segment(img, xx, yy, a, b, 4.0, limb_color)
 
-    # Keypoint disks, radius shrinking with depth, distinct colors.
+    # Keypoint disks, radius shrinking with depth, distinct colors.  18
+    # entries so every keypoint of a baxter-scale 17-point chain gets a
+    # unique color cue (a modulo-repeated palette would alias the identity
+    # signal the detector trains on).
     palette = np.array(
         [
             [230, 60, 60],
@@ -163,6 +202,16 @@ def _render_frame(
             [50, 210, 210],
             [240, 140, 40],
             [150, 150, 240],
+            [120, 230, 120],
+            [230, 120, 170],
+            [90, 160, 90],
+            [170, 110, 60],
+            [60, 120, 160],
+            [220, 220, 140],
+            [140, 70, 120],
+            [100, 220, 180],
+            [250, 90, 120],
+            [110, 110, 110],
         ],
         dtype=np.float32,
     )
@@ -212,15 +261,18 @@ def render_random_scene(
     w, h = image_resolution
     fx = fy = 0.96 * w
     K = np.array([[fx, 0, w / 2.0], [0, fy, h / 2.0], [0, 0, 1.0]])
-    chain = _CANONICAL_CHAIN[:n_keypoints]
+    chain = chain_points(n_keypoints)
+    zs = _camera_distance_scale(chain)
     R = _rotation_matrix(rng)
     if out_of_frame:
         t = np.array(
-            [rng.uniform(0.5, 0.9), rng.uniform(-0.1, 0.1), rng.uniform(1.0, 1.6)]
+            [rng.uniform(0.5, 0.9), rng.uniform(-0.1, 0.1),
+             rng.uniform(1.0 * zs, 1.6 * zs)]
         )
     else:
         t = np.array(
-            [rng.uniform(-0.25, 0.25), rng.uniform(-0.2, 0.2), rng.uniform(1.2, 2.6)]
+            [rng.uniform(-0.25, 0.25), rng.uniform(-0.2, 0.2),
+             rng.uniform(1.2 * zs, 2.6 * zs)]
         )
     centered = chain - chain.mean(axis=0)
     Xc = centered @ R.T + t
@@ -254,10 +306,8 @@ def generate_synthetic_ndds(
     os.makedirs(output_dir, exist_ok=True)
     keypoint_names = list(keypoint_names or DEFAULT_KEYPOINT_NAMES)
     n_kp = len(keypoint_names)
-    chain = _CANONICAL_CHAIN[:n_kp] if n_kp <= len(_CANONICAL_CHAIN) else np.concatenate(
-        [_CANONICAL_CHAIN,
-         _CANONICAL_CHAIN[-1] + np.cumsum(np.full((n_kp - len(_CANONICAL_CHAIN), 3), 0.05), axis=0)]
-    )
+    chain = chain_points(n_kp)
+    zs = _camera_distance_scale(chain)
 
     w, h = image_resolution
     fx = fy = 0.96 * w
@@ -288,11 +338,13 @@ def generate_synthetic_ndds(
         push_out = idx < int(n_frames * out_of_frame_fraction)
         if push_out:
             t = np.array(
-                [rng.uniform(0.5, 0.9), rng.uniform(-0.1, 0.1), rng.uniform(1.0, 1.6)]
+                [rng.uniform(0.5, 0.9), rng.uniform(-0.1, 0.1),
+                 rng.uniform(1.0 * zs, 1.6 * zs)]
             )
         else:
             t = np.array(
-                [rng.uniform(-0.25, 0.25), rng.uniform(-0.2, 0.2), rng.uniform(1.2, 2.6)]
+                [rng.uniform(-0.25, 0.25), rng.uniform(-0.2, 0.2),
+                 rng.uniform(1.2 * zs, 2.6 * zs)]
             )
         centered = chain - chain.mean(axis=0)
         Xc = centered @ R.T + t  # camera-frame keypoint positions

@@ -37,9 +37,22 @@ arrays exactly as the int8 deploy graph will, but in the float domain, so
 ``jax.grad`` flows through the whole training step unchanged and the fused
 / scanned-epoch dispatchers need no mutable quant state.  Scales are
 ``stop_gradient`` constants (standard min-max QAT).  A qat-trained
-checkpoint is then deployed through the ordinary calibrate->int8 PTQ path;
-the weights have learned to sit on the int8 grid, so the deploy-time
-quantization error is what training already optimized against.
+checkpoint is then deployed through the ordinary calibrate->int8 PTQ path.
+
+Two deliberate approximations in the qat<->deploy match:
+
+- **Activation scales**: QAT uses the CURRENT batch's dynamic amax while the
+  int8 deploy path uses a static calibrated amax, so the *weight* grid is
+  exactly what training optimized against but the activation grid matches
+  only to the extent the calibration distribution matches training.
+  Calibrate PTQ on training-distribution batches when deploying a qat
+  checkpoint.
+- **Accumulation width**: QAT accumulates the integer-valued products in
+  float32 (MXU) while deploy accumulates in int32.  Products reach
+  127*127~16k, so a wide conv's dot products can exceed float32's 2^24
+  exact-integer range and the match becomes approximate at scale (bounded
+  by f32 rounding of partial sums — see
+  tests/test_quant.py::test_quantconv_qat_int8_gap_wide_channels).
 """
 
 from __future__ import annotations

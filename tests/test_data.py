@@ -278,3 +278,73 @@ def test_synthetic_domain_randomization(tmp_path):
     hb = ds.host_batch([0, 1, 2])
     assert hb["image_rgb_raw"].shape == (3, 120, 160, 3)
     assert np.isfinite(hb["keypoint_projections_raw"]).all()
+
+
+def test_chain_points_unified_and_many_keypoints(tmp_path):
+    """chain_points is the single chain builder: truncation for <=7, helix
+    extension beyond (kuka 8 / baxter 17 scales), shared by both the on-disk
+    generator and the in-memory scene renderer; extended chains must not be
+    collinear (PnP geometry) and must still land mostly in frame."""
+    from dream_tpu.data import synthetic
+
+    # <=7: exact canonical prefix.
+    np.testing.assert_array_equal(
+        synthetic.chain_points(7), synthetic._CANONICAL_CHAIN
+    )
+    np.testing.assert_array_equal(
+        synthetic.chain_points(3), synthetic._CANONICAL_CHAIN[:3]
+    )
+    # Extension is deterministic, continuous, and non-collinear.
+    c17 = synthetic.chain_points(17)
+    assert c17.shape == (17, 3)
+    np.testing.assert_array_equal(c17[:7], synthetic._CANONICAL_CHAIN)
+    tail = c17[7:] - c17[7:].mean(axis=0)
+    # Rank 3 spread: no two singular values vanish (not a line).
+    s = np.linalg.svd(tail, compute_uv=False)
+    assert s[1] > 1e-3, s
+
+    # In-memory renderer and on-disk generator share the geometry.
+    rng = np.random.RandomState(5)
+    img, projs, pos = synthetic.render_random_scene(rng, (160, 120), n_keypoints=17)
+    assert img.shape == (120, 160, 3) and projs.shape == (17, 2)
+    d = np.linalg.norm(pos - pos.mean(axis=0), axis=1)
+    np.testing.assert_allclose(
+        sorted(d), sorted(np.linalg.norm(c17 - c17.mean(axis=0), axis=1)),
+        rtol=1e-6,
+    )
+
+    # 17-keypoint dataset drives the full host pipeline (baxter-like names).
+    names = [f"kp_{i}" for i in range(17)]
+    out = str(tmp_path / "baxter_like")
+    dream_data.generate_synthetic_ndds(
+        out, n_frames=4, image_resolution=(160, 120), seed=7,
+        keypoint_names=names, object_class="baxter",
+        out_of_frame_fraction=0.0,
+    )
+    ds = dream_data.ManipulatorNDDSDataset(
+        out, "baxter", names, (96, 96), (24, 24),
+        {"mean": [0.5] * 3, "stdev": [0.5] * 3}, "shrink-and-crop",
+    )
+    hb = ds.host_batch([0, 1, 2, 3])
+    assert hb["keypoint_projections_raw"].shape == (4, 17, 2)
+    assert hb["keypoint_positions"].shape == (4, 17, 3)
+    # Most keypoints are inside the raw frame (camera distance scales with
+    # chain radius).
+    kp = hb["keypoint_projections_raw"].reshape(-1, 2)
+    in_frame = (
+        (kp[:, 0] >= 0) & (kp[:, 0] < 160) & (kp[:, 1] >= 0) & (kp[:, 1] < 120)
+    )
+    assert in_frame.mean() > 0.7, in_frame.mean()
+
+    process = dream_data.make_batch_processor(
+        (160, 120), (96, 96), (24, 24), "shrink-and-crop",
+        {"mean": [0.5] * 3, "stdev": [0.5] * 3},
+        augment=True, include_belief_maps=True,
+    )
+    pb = process(
+        jax.random.PRNGKey(0),
+        jnp.array(hb["image_rgb_raw"]),
+        jnp.array(hb["keypoint_projections_raw"]),
+    )
+    assert pb["belief_maps"].shape == (4, 17, 24, 24)
+    assert bool(jnp.isfinite(pb["belief_maps"]).all())

@@ -349,3 +349,45 @@ def test_resnet_deploy_int8_tracks_float():
     )
     cc = np.corrcoef(ref.ravel(), got.ravel())[0, 1]
     assert cc > 0.98
+
+
+def test_quantconv_qat_int8_gap_wide_channels():
+    """At vgg-scale widths (3x3x256 taps), QAT's f32 accumulation vs int8's
+    int32 accumulation diverge only by f32 rounding of partial sums.  The
+    integer dot products here reach |y| ~ taps * 127^2 ~ 3.7e7 > 2^24, so
+    exact equality is NOT expected (quant.py docstring); the gap must stay
+    below the f32 rounding bound for the accumulated magnitude.
+
+    Bound derivation: each partial sum is exact until it exceeds 2^24; above
+    that f32 rounds each add to 0.5 ulp ~ |y| * 2^-25.  With n = kh*kw*ci
+    sequential adds the worst case is ~ n * |y|_max * 2^-25 in the integer
+    domain, scaled by s_x * s_w back to the float domain.  We use that bound
+    with a 4x safety margin (MXU accumulation order is tree-like, much
+    tighter than sequential)."""
+    ci, co = 256, 64
+    key = jax.random.PRNGKey(7)
+    x = jax.random.uniform(key, (1, 8, 8, ci), minval=-2.0, maxval=2.0)
+    qat = QuantConv(co, kernel_size=3, padding=1, mode="qat")
+    variables = qat.init(jax.random.PRNGKey(8), x)
+    got = np.asarray(qat.apply(variables, x), np.float64)
+
+    int8 = QuantConv(co, kernel_size=3, padding=1, mode="int8")
+    amax = jnp.max(jnp.abs(x)).astype(jnp.float32)
+    int8_vars = {
+        "params": variables["params"],
+        "quant": {"act_amax": amax},
+    }
+    want = np.asarray(int8.apply(int8_vars, x), np.float64)
+
+    s_x = float(amax) / 127.0
+    s_w = np.asarray(
+        jnp.max(jnp.abs(variables["params"]["kernel"]), axis=(0, 1, 2))
+    ) / 127.0
+    n_taps = 3 * 3 * ci
+    y_int_max = n_taps * 127.0 * 127.0
+    bound = 4.0 * n_taps * y_int_max * 2.0**-25 * s_x * s_w[None, None, None, :]
+
+    gap = np.abs(got - want)
+    assert np.all(gap <= bound), (gap.max(), bound.min())
+    # And the gap is tiny relative to the outputs themselves (sanity).
+    assert gap.max() <= 1e-3 * max(1.0, np.abs(want).max())
