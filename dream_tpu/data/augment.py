@@ -188,8 +188,10 @@ def augment_batch(
 
     Both paths consume identical PRNG splits, so the sampled augmentation
     parameters (and the keypoint transform) are bit-identical across
-    backends; warped images agree to float32 rounding
-    (tests/test_pallas_warp.py).
+    backends; warped images agree to <= ~1/255 at the production MXU
+    precision (DEFAULT — within the reference pipeline's own uint8
+    augmentation rounding) and to float32 rounding at precision="HIGHEST"
+    (tests/test_pallas_warp.py; see ops/pallas_warp.py module comment).
     """
     n = images.shape[0]
     h, w = images.shape[1], images.shape[2]

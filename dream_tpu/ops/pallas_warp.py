@@ -55,17 +55,24 @@ BLOCK_COLS = 128
 WIN_ROWS = 56   # >= |c|*127 + |d|*7 + 2 (~46) + 8-alignment slack
 WIN_COLS = 280  # >= |a|*127 + |b|*7 + 2 (~144) + 128-alignment slack
 
-# The MXU's default pass truncates f32 inputs to bf16, which costs ~8
-# mantissa bits in the fractional hat weights (measured ~1.0 max error on
-# the 0-255 scale vs the gather path); multi-pass f32 emulation restores
-# parity.  Overridable for experiments via _DOT_PRECISION.
+# MXU precision for the one-hot contraction.  The image planes are
+# uint8-VALUED floats (integers 0-255 — exactly representable in bf16's
+# 8-bit significand), so a single bf16 MXU pass ("DEFAULT") loses nothing on
+# the window operand; only the fractional hat weights round (2^-9 absolute
+# per tap -> <= ~1.0 max error on the 0-255 scale vs the f32 gather path).
+# That is the same magnitude as the reference's own augmentation rounding
+# (albumentations returns uint8 images, error 0.5), and it sits far below
+# the GaussNoise sigma 3-7 applied right after — so DEFAULT is the
+# production default, cutting the warp's MXU cost 6x vs the f32-emulating
+# HIGHEST (6 passes).  HIGHEST remains available (precision="HIGHEST" or
+# env DREAM_WARP_DOT_PRECISION) for exact-parity validation against the
+# gather path.
 import os as _os
-_DOT_PRECISION = getattr(
-    jax.lax.Precision, _os.environ.get("DREAM_WARP_DOT_PRECISION", "HIGHEST")
-)
+_DEFAULT_DOT_PRECISION = _os.environ.get("DREAM_WARP_DOT_PRECISION", "DEFAULT")
 
 
-def _warp_plane_kernel(params_ref, in_ref, out_ref, scratch_ref, *, h, w, hp, wp):
+def _warp_plane_kernel(params_ref, in_ref, out_ref, scratch_ref, *, h, w, hp,
+                       wp, dot_precision):
     """Warp one padded [hp, wp] plane to an [h, w] output.
 
     params_ref (SMEM, [1, 1, 8]): inverse-affine row-major
@@ -140,7 +147,7 @@ def _warp_plane_kernel(params_ref, in_ref, out_ref, scratch_ref, *, h, w, hp, wp
         )
         m = jnp.dot(
             win, wx, preferred_element_type=jnp.float32,
-            precision=_DOT_PRECISION,
+            precision=getattr(jax.lax.Precision, dot_precision),
         )
 
         # Vertical hat weights + VPU reduction over the window rows.
@@ -162,8 +169,9 @@ def _warp_plane_kernel(params_ref, in_ref, out_ref, scratch_ref, *, h, w, hp, wp
     out_ref[0, 0] = scratch_ref[:, :w]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def warp_batch_pallas(images, affines, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "precision"))
+def warp_batch_pallas(images, affines, interpret: bool = False,
+                      precision: str = None):
     """Inverse-warp a batch of images by per-sample forward affines.
 
     Drop-in batched equivalent of the XLA gather path
@@ -176,9 +184,15 @@ def warp_batch_pallas(images, affines, interpret: bool = False):
         (cv2.getRotationMatrix2D convention, as built by
         ``augment._affine_matrix``).
       interpret: run the kernel in interpreter mode (CPU testing).
+      precision: MXU precision for the one-hot contraction — "DEFAULT"
+        (production: 1-pass bf16, <= ~1/255 error, see module comment) or
+        "HIGHEST" (6-pass f32 emulation, float32-rounding parity with the
+        gather path).  None picks the env-overridable module default.
 
     Returns ``[B, H, W, C]`` float32.
     """
+    if precision is None:
+        precision = _DEFAULT_DOT_PRECISION
     bsz, h, w, ch = images.shape
     assert h % BLOCK_ROWS == 0, (h, BLOCK_ROWS)
 
@@ -216,7 +230,8 @@ def warp_batch_pallas(images, affines, interpret: bool = False):
     w_pad = pl.cdiv(w, BLOCK_COLS) * BLOCK_COLS
 
     out = pl.pallas_call(
-        functools.partial(_warp_plane_kernel, h=h, w=w, hp=hp, wp=wp),
+        functools.partial(_warp_plane_kernel, h=h, w=w, hp=hp, wp=wp,
+                          dot_precision=precision),
         grid=(bsz, ch),
         in_specs=[
             pl.BlockSpec(

@@ -1,0 +1,200 @@
+#!/usr/bin/env python3
+"""Component-level timing breakdown of the inference pipeline + warp kernel.
+
+Decomposes the end-to-end vgg-Q rate (bench.py's metric) into its stages so
+optimization targets the real cost (VERDICT r3: int8 realized 1.53x of the
+theoretical 2x over bf16 — this script locates the non-MXU time):
+
+  preproc   uint8 640x480 -> shrink-and-crop 400x400 -> normalize
+  model     hourglass forward from a device-resident normalized input
+            (bf16 and int8-PTQ variants)
+  decode    Pallas peak decode from device-resident belief maps
+  e2e       the full pipeline as bench.py times it
+
+Each stage is timed as its own jitted dispatch returning a scalar sum (the
+device->host transfer of the scalar is the only reliable sync through the
+axon relay — jax.block_until_ready returns early here).  Stage times do NOT
+add up exactly to e2e (XLA fuses across stage boundaries in the single e2e
+graph; separate dispatches pay HBM materialization between stages) — they
+bound each stage's cost from above.
+
+Also micro-benches the Pallas augmentation warp (ops/pallas_warp.py) at each
+MXU precision to justify the production DEFAULT (see module comment there).
+
+Usage: python scripts/profile_breakdown.py  (one real TPU chip, ~3 min warm)
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def timed(fn, n_iters=16, n_trials=3):
+    """Median wall seconds per dispatch (sync once per trial, in-order device)."""
+    fn()  # warm-up / compile
+    per = []
+    for _ in range(n_trials):
+        t0 = time.time()
+        out = None
+        for _ in range(n_iters):
+            out = fn()
+        np.asarray(out)
+        per.append((time.time() - t0) / n_iters)
+    return float(np.median(per))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dream_tpu.models import DreamHourglass
+    from dream_tpu.ops.belief_maps import keypoints_from_belief_maps
+    from dream_tpu.ops.image_proc import preprocess_and_normalize
+
+    print("backend:", jax.default_backend(), flush=True)
+    B = 128
+    norm = {"mean": [0.5] * 3, "stdev": [0.5] * 3}
+    rng = np.random.RandomState(0)
+    raw = jnp.asarray(rng.randint(0, 255, size=(B, 480, 640, 3), dtype=np.uint8))
+
+    model = DreamHourglass(n_keypoints=7, dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    variables = jax.jit(model.init)(key, jnp.zeros((1, 400, 400, 3), jnp.float32))
+
+    import dataclasses
+    calib_model = dataclasses.replace(model, quant_mode="calibrate")
+    int8_model = dataclasses.replace(model, quant_mode="int8")
+    qvars = calib_model.init(key, jnp.zeros((1, 400, 400, 3), jnp.float32))["quant"]
+    net_in_calib = preprocess_and_normalize(raw[:16], (400, 400), "shrink-and-crop", norm)
+    _, mut = jax.jit(
+        lambda p, q, x: calib_model.apply({"params": p, "quant": q}, x, mutable=["quant"])
+    )(variables["params"], qvars, net_in_calib)
+    qvars = mut["quant"]
+
+    net_in = jax.jit(
+        lambda r: preprocess_and_normalize(r, (400, 400), "shrink-and-crop", norm)
+    )(raw)
+    belief = jax.jit(
+        lambda v, x: jnp.moveaxis(model.apply(v, x)[-1], -1, 1)
+    )(variables, net_in)
+
+    stages = {
+        "preproc (uint8 640x480 -> norm 400x400)": jax.jit(
+            lambda r: jnp.sum(
+                preprocess_and_normalize(r, (400, 400), "shrink-and-crop", norm)
+            )
+        ),
+        "model bf16 (net_in -> belief)": jax.jit(
+            lambda x: jnp.sum(model.apply(variables, x)[-1].astype(jnp.float32))
+        ),
+        "model int8 (net_in -> belief)": jax.jit(
+            lambda x: jnp.sum(
+                int8_model.apply({"params": variables["params"], "quant": qvars}, x)[-1]
+                .astype(jnp.float32)
+            )
+        ),
+        "decode (belief -> keypoints)": jax.jit(
+            lambda b: jnp.sum(keypoints_from_belief_maps(b, 0.4395)[0])
+        ),
+    }
+    args = {
+        "preproc (uint8 640x480 -> norm 400x400)": raw,
+        "model bf16 (net_in -> belief)": net_in,
+        "model int8 (net_in -> belief)": net_in,
+        "decode (belief -> keypoints)": belief,
+    }
+
+    print(f"\n-- stage breakdown (b={B}, ms/frame | fps) --", flush=True)
+    for name, fn in stages.items():
+        a = args[name]
+        dt = timed(lambda: fn(a))
+        print(f"{name:45s} {dt / B * 1e3:7.3f} ms/frame  {B / dt:8.1f} fps",
+              flush=True)
+
+    @jax.jit
+    def e2e_bf16(v, r):
+        x = preprocess_and_normalize(r, (400, 400), "shrink-and-crop", norm)
+        b = jnp.moveaxis(model.apply(v, x)[-1], -1, 1)
+        return keypoints_from_belief_maps(b, 0.4395)[0]
+
+    @jax.jit
+    def e2e_int8(p, r):
+        x = preprocess_and_normalize(r, (400, 400), "shrink-and-crop", norm)
+        b = jnp.moveaxis(
+            int8_model.apply({"params": p, "quant": qvars}, x)[-1], -1, 1
+        )
+        return keypoints_from_belief_maps(b, 0.4395)[0]
+
+    for name, fn in (
+        ("e2e bf16", lambda: e2e_bf16(variables, raw)),
+        ("e2e int8", lambda: e2e_int8(variables["params"], raw)),
+    ):
+        dt = timed(fn)
+        print(f"{name:45s} {dt / B * 1e3:7.3f} ms/frame  {B / dt:8.1f} fps",
+              flush=True)
+
+    # Compiled-graph cost analysis: compare bytes accessed between the bf16
+    # and int8 model graphs — if int8's HBM traffic exceeds bf16's, the int8
+    # stack is memory-bound on the int32 conv-output round trips (the
+    # quantize/dequantize chains), not compute-bound.
+    for name in ("model bf16 (net_in -> belief)", "model int8 (net_in -> belief)"):
+        try:
+            ca = stages[name].lower(args[name]).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            print(
+                f"{name:45s} flops/frame={ca.get('flops', 0) / B / 1e9:6.2f}G  "
+                f"bytes/frame={ca.get('bytes accessed', 0) / B / 1e6:7.1f}MB",
+                flush=True,
+            )
+        except Exception as exc:
+            print(f"{name}: cost_analysis unavailable ({exc})", flush=True)
+
+    # int8 at larger batch (memory-bound pipelines don't gain; compute-bound
+    # ones with dispatch overhead do).
+    raw256 = jnp.asarray(
+        rng.randint(0, 255, size=(256, 480, 640, 3), dtype=np.uint8)
+    )
+    dt = timed(lambda: e2e_int8(variables["params"], raw256), n_iters=8)
+    print(f"{'e2e int8 b=256':45s} {dt / 256 * 1e3:7.3f} ms/frame  "
+          f"{256 / dt:8.1f} fps", flush=True)
+
+    # ---- Pallas warp kernel precision sweep (training augmentation) ----
+    from dream_tpu.ops.pallas_warp import warp_batch_pallas
+    from dream_tpu.data import augment
+
+    WB = 32
+    imgs = jnp.asarray(
+        rng.randint(0, 255, size=(WB, 400, 400, 3)).astype(np.float32)
+    )
+    cfg = augment.AugmentConfig(p_shift_scale_rotate=1.0)
+    keys = jax.random.split(jax.random.PRNGKey(5), WB)
+    affines = jnp.stack(
+        [augment._affine_matrix(k, 400, 400, cfg) for k in keys]
+    )
+
+    print(f"\n-- Pallas warp (b={WB}x400x400x3, ms/batch) --", flush=True)
+    ref = None
+    # NOTE: Precision.HIGH is not lowerable by Mosaic (NotImplementedError);
+    # the kernel supports exactly HIGHEST (6-pass f32) and DEFAULT (1-pass).
+    for prec in ("HIGHEST", "DEFAULT"):
+        f = jax.jit(
+            lambda im, af, p=prec: jnp.sum(warp_batch_pallas(im, af, precision=p))
+        )
+        dt = timed(lambda: f(imgs, affines), n_iters=8)
+        out = np.asarray(warp_batch_pallas(imgs, affines, precision=prec))
+        if ref is None:
+            ref = out
+            err = 0.0
+        else:
+            err = float(np.abs(out - ref).max())
+        print(f"precision={prec:8s} {dt * 1e3:8.2f} ms/batch   "
+              f"max|delta| vs HIGHEST = {err:.4f} (0-255 scale)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
