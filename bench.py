@@ -167,8 +167,13 @@ def main():
     # the bf16 number.
     int8_fps = 0.0
     int8_trials = []
+    int8_impl = "none"
     try:
         import dataclasses
+
+        from dream_tpu.models.vgg_int8_deploy import (
+            supports as pallas_supports, vgg_q_int8_infer,
+        )
 
         calib_model = dataclasses.replace(model, quant_mode="calibrate")
         int8_model = dataclasses.replace(model, quant_mode="int8")
@@ -183,21 +188,43 @@ def main():
         )(variables["params"], qvars, calib_in)
         qvars = mut["quant"]
 
-        @jax.jit
-        def infer_int8(params, raw_uint8):
-            net_in = preprocess_and_normalize(
-                raw_uint8, (400, 400), "shrink-and-crop", norm
-            )
-            belief_nhwc = int8_model.apply(
-                {"params": params, "quant": qvars}, net_in
-            )[-1]
-            belief = jnp.moveaxis(belief_nhwc, -1, 1)
-            kps, _ = keypoints_from_belief_maps(belief, 0.4395)
-            return kps
+        def make_infer_int8(use_pallas):
+            @jax.jit
+            def infer_int8(params, raw_uint8):
+                net_in = preprocess_and_normalize(
+                    raw_uint8, (400, 400), "shrink-and-crop", norm
+                )
+                if use_pallas:
+                    belief_nhwc = vgg_q_int8_infer(params, qvars, net_in)
+                else:
+                    belief_nhwc = int8_model.apply(
+                        {"params": params, "quant": qvars}, net_in
+                    )[-1]
+                belief = jnp.moveaxis(belief_nhwc, -1, 1)
+                kps, _ = keypoints_from_belief_maps(belief, 0.4395)
+                return kps
+            return infer_int8
 
         b8 = max(results, key=results.get) if results else 128
         frames8 = batches[b8]
-        sync(infer_int8(variables["params"], frames8))  # warm-up / compile
+        # Fused Pallas int8 conv chain first (ops/pallas_conv.py); any
+        # Mosaic failure falls back to the XLA QuantConv graph so the int8
+        # capture survives either way.
+        variants = (
+            [("pallas", True)] if pallas_supports(model) else []
+        ) + [("xla", False)]
+        infer_int8 = None
+        for impl_name, use_pallas in variants:
+            try:
+                candidate = make_infer_int8(use_pallas)
+                sync(candidate(variables["params"], frames8))  # warm/compile
+                infer_int8, int8_impl = candidate, impl_name
+                break
+            except Exception as exc:
+                anomalies.append(
+                    {"reason": f"int8 {impl_name} compile failed: {exc}"[:200]}
+                )
+        assert infer_int8 is not None, "all int8 implementations failed"
         n_iters = max(MIN_DISPATCHES, int(2048 // b8))
         int8_trials = _timed_trials(
             lambda: infer_int8(variables["params"], frames8), sync, b8, n_iters
@@ -352,6 +379,7 @@ def main():
                     "model_gflops_per_frame": round(flops_frame / 1e9, 2),
                     "mfu_vs_v5e_peak": mfu,
                     "int8_fps_median": round(int8_fps, 2),
+                    "int8_impl": int8_impl,
                     "int8_trials_fps": [round(t, 1) for t in int8_trials],
                     "train_step_imgs_per_sec": round(train_fps, 1),
                     "train_step_batch": TRAIN_B,

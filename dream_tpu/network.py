@@ -825,6 +825,34 @@ class DreamNetwork:
         self._int8_params = int8_params
         self._int8_model = int8_model
 
+        # Fused Pallas int8 conv chain (ops/pallas_conv.py) for the
+        # single-stage vgg upsample-decoder stack on TPU: int8 activations
+        # stay int8 between convs with the requant folded into each conv's
+        # epilogue.  Same params + calibration tree; kill switch
+        # DREAM_INT8_PALLAS=0 reverts to the XLA QuantConv graph.
+        from dream_tpu.models import vgg_int8_deploy
+
+        use_pallas = (
+            self.architecture_type == "vgg"
+            and vgg_int8_deploy.supports(self.model)
+            and jax.default_backend() == "tpu"
+            and os.environ.get("DREAM_INT8_PALLAS", "1") != "0"
+        )
+        compute_dtype = self.compute_dtype
+
+        if use_pallas:
+            def apply_int8(params, net_input):
+                return [
+                    vgg_int8_deploy.vgg_q_int8_infer(
+                        params, qvars, net_input, dtype=compute_dtype
+                    )
+                ]
+        else:
+            def apply_int8(params, net_input):
+                return int8_model.apply(
+                    {"params": params, "quant": qvars}, net_input
+                )
+
         offset = self.peak_offset_due_to_upsampling()
         use_scores = self.use_belief_peak_scores
         gap = self.belief_peak_next_best_score
@@ -836,9 +864,7 @@ class DreamNetwork:
         # constants would bloat the compile).
         @jax.jit
         def run_impl(params, net_input):
-            outputs = int8_model.apply(
-                {"params": params, "quant": qvars}, net_input
-            )
+            outputs = apply_int8(params, net_input)
             belief = jnp.moveaxis(outputs[0 if soft_argmax_head else -1], -1, 1)
             if soft_argmax_head:
                 return belief, outputs[1]
@@ -850,9 +876,7 @@ class DreamNetwork:
 
         @jax.jit
         def run_detailed_impl(params, net_input):
-            outputs = int8_model.apply(
-                {"params": params, "quant": qvars}, net_input
-            )
+            outputs = apply_int8(params, net_input)
             if soft_argmax_head:
                 belief = jnp.moveaxis(outputs[0], -1, 1)
                 keypoints = outputs[1]

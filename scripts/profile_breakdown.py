@@ -75,6 +75,8 @@ def main():
     )(variables["params"], qvars, net_in_calib)
     qvars = mut["quant"]
 
+    from dream_tpu.models.vgg_int8_deploy import vgg_q_int8_infer as _pallas_int8
+
     net_in = jax.jit(
         lambda r: preprocess_and_normalize(r, (400, 400), "shrink-and-crop", norm)
     )(raw)
@@ -97,6 +99,9 @@ def main():
                 .astype(jnp.float32)
             )
         ),
+        "model int8 pallas (fused conv chain)": jax.jit(
+            lambda x: jnp.sum(_pallas_int8(variables["params"], qvars, x))
+        ),
         "decode (belief -> keypoints)": jax.jit(
             lambda b: jnp.sum(keypoints_from_belief_maps(b, 0.4395)[0])
         ),
@@ -105,13 +110,18 @@ def main():
         "preproc (uint8 640x480 -> norm 400x400)": raw,
         "model bf16 (net_in -> belief)": net_in,
         "model int8 (net_in -> belief)": net_in,
+        "model int8 pallas (fused conv chain)": net_in,
         "decode (belief -> keypoints)": belief,
     }
 
     print(f"\n-- stage breakdown (b={B}, ms/frame | fps) --", flush=True)
     for name, fn in stages.items():
         a = args[name]
-        dt = timed(lambda: fn(a))
+        try:
+            dt = timed(lambda: fn(a))
+        except Exception as exc:
+            print(f"{name:45s} FAILED: {exc}"[:200], flush=True)
+            continue
         print(f"{name:45s} {dt / B * 1e3:7.3f} ms/frame  {B / dt:8.1f} fps",
               flush=True)
 
@@ -129,11 +139,23 @@ def main():
         )
         return keypoints_from_belief_maps(b, 0.4395)[0]
 
+    @jax.jit
+    def e2e_int8_pallas(p, r):
+        x = preprocess_and_normalize(r, (400, 400), "shrink-and-crop", norm)
+        b = jnp.moveaxis(_pallas_int8(p, qvars, x), -1, 1)
+        return keypoints_from_belief_maps(b, 0.4395)[0]
+
     for name, fn in (
         ("e2e bf16", lambda: e2e_bf16(variables, raw)),
-        ("e2e int8", lambda: e2e_int8(variables["params"], raw)),
+        ("e2e int8 (xla convs)", lambda: e2e_int8(variables["params"], raw)),
+        ("e2e int8 (pallas fused convs)",
+         lambda: e2e_int8_pallas(variables["params"], raw)),
     ):
-        dt = timed(fn)
+        try:
+            dt = timed(fn)
+        except Exception as exc:
+            print(f"{name:45s} FAILED: {exc}"[:200], flush=True)
+            continue
         print(f"{name:45s} {dt / B * 1e3:7.3f} ms/frame  {B / dt:8.1f} fps",
               flush=True)
 
