@@ -1078,7 +1078,13 @@ class DreamNetwork:
     def load_network_params(self, network_params_path):
         self.init_variables()
         with open(network_params_path, "rb") as f:
-            self.variables = serialization.from_bytes(self.variables, f.read())
+            loaded = serialization.from_bytes(self.variables, f.read())
+        # Cast to the model's parameter dtypes: storage-compressed
+        # checkpoints (e.g. the float16-cast artifacts committed under
+        # trained_models/) run as ordinary float32 params.
+        self.variables = jax.tree_util.tree_map(
+            lambda t, l: jnp.asarray(l, t.dtype), self.variables, loaded
+        )
         # Drop any stale compiled closure over old variables.
         self.__dict__.pop("_inference_fn", None)
         self.__dict__.pop("_inference_detailed_fn", None)

@@ -171,6 +171,45 @@ def test_save_load_round_trip(tmp_path):
     )
 
 
+def test_float16_compressed_checkpoint_round_trip(tmp_path):
+    """scripts/compress_checkpoint.py artifacts load as ordinary f32 params
+    (load_network_params casts to the template dtypes) and the belief maps
+    stay within f16-rounding of the original."""
+    import subprocess
+    import sys
+
+    net = DreamNetwork(_vgg_config())
+    net.init_variables()
+    x = jnp.array(np.random.RandomState(2).rand(1, 64, 64, 3).astype(np.float32))
+    belief1, _ = net.inference(x)
+    net.save_network(str(tmp_path), "full")
+
+    script = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts", "compress_checkpoint.py",
+    )
+    subprocess.run(
+        [sys.executable, script, str(tmp_path / "full.msgpack"),
+         str(tmp_path / "f16.msgpack")],
+        check=True,
+    )
+    assert os.path.getsize(tmp_path / "f16.msgpack") < 0.6 * os.path.getsize(
+        tmp_path / "full.msgpack"
+    )
+    assert os.path.exists(tmp_path / "f16.yaml")
+
+    net2 = create_network_from_config_file(
+        str(tmp_path / "f16.yaml"), str(tmp_path / "f16.msgpack")
+    )
+    leaf = jax.tree_util.tree_leaves(net2.variables["params"])[0]
+    assert leaf.dtype == jnp.float32, leaf.dtype
+    belief2, _ = net2.inference(x)
+    scale = float(np.abs(np.asarray(belief1)).max()) + 1e-9
+    assert float(np.abs(np.asarray(belief1) - np.asarray(belief2)).max()) < (
+        2e-3 * scale + 2e-3
+    )
+
+
 def test_multistage_network_loss():
     net = DreamNetwork(_vgg_config(n_stages=2))
     net.enable_training()
