@@ -233,6 +233,56 @@ def main():
     except Exception as exc:
         anomalies.append({"reason": f"int8 capture failed: {exc}"[:200]})
 
+    # Full-resolution decoder variants (DREAM-vgg-F deconv decoder and
+    # DREAM-resnet-F, reference dream/models.py:618-686 and :80-136): one
+    # lean guarded row each (b=32, 2 trials) so the 400x400-output variants'
+    # on-chip throughput/memory behavior is visible in every capture, not
+    # just the flagship vgg-Q.
+    variant_fps = {}
+    try:
+        from dream_tpu.models import ResnetSimple
+
+        def make_variant_infer(vmodel, vvars):
+            @jax.jit
+            def infer_v(raw_uint8):
+                net_in = preprocess_and_normalize(
+                    raw_uint8, (400, 400), "shrink-and-crop", norm
+                )
+                belief_nhwc = vmodel.apply(vvars, net_in)[-1]
+                belief = jnp.moveaxis(belief_nhwc, -1, 1)
+                kps, _ = keypoints_from_belief_maps(belief, 0.4395)
+                return kps
+            return infer_v
+
+        VB = 32
+        vframes = batches[16][:VB] if VB <= 16 else jnp.concatenate(
+            [batches[16], batches[16]]
+        )[:VB]
+        for vname, vmodel in (
+            ("vgg_f", DreamHourglass(
+                n_keypoints=7, deconv_decoder=True, dtype=jnp.bfloat16)),
+            ("resnet_f", ResnetSimple(
+                n_keypoints=7, full=True, dtype=jnp.bfloat16)),
+        ):
+            try:
+                vvars = jax.jit(vmodel.init)(key, init_img)
+                infer_v = make_variant_infer(vmodel, vvars)
+                sync(infer_v(vframes))  # warm-up / compile
+                vtrials = _timed_trials(
+                    lambda: infer_v(vframes), sync, VB, 8, n_trials=2
+                )
+                variant_fps[vname] = {
+                    "fps_median": round(float(np.median(vtrials)), 2),
+                    "trials_fps": [round(t, 1) for t in vtrials],
+                    "batch": VB,
+                }
+            except Exception as exc:
+                anomalies.append(
+                    {"reason": f"variant {vname} capture failed: {exc}"[:200]}
+                )
+    except Exception as exc:
+        anomalies.append({"reason": f"variant captures failed: {exc}"[:200]})
+
     # Training throughput in the PRODUCTION configuration — bf16 compute +
     # scanned epochs over a device-resident set (the --cache-device path that
     # scripts/train_network.py ships; round-2's official capture fell back to
@@ -378,6 +428,7 @@ def main():
                     "best_batch": best_batch,
                     "model_gflops_per_frame": round(flops_frame / 1e9, 2),
                     "mfu_vs_v5e_peak": mfu,
+                    "variant_fps": variant_fps,
                     "int8_fps_median": round(int8_fps, 2),
                     "int8_impl": int8_impl,
                     "int8_trials_fps": [round(t, 1) for t in int8_trials],

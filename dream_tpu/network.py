@@ -220,7 +220,15 @@ class DreamNetwork:
             assert self.quant_mode is None, (
                 "QAT applies to vgg architectures; resnet is quantized "
                 "post-hoc on the BN-folded deploy graph "
-                "(enable_int8_inference)."
+                "(enable_int8_inference). Rationale: resnet's convs are "
+                "BN-sandwiched, and the deployed int8 graph quantizes the "
+                "BN-FOLDED weights (scale*w/sqrt(var)). Training-time fake "
+                "quant of the unfolded conv would optimize against a "
+                "different weight grid than deployment uses (the classic "
+                "QAT/BN-folding mismatch), while the running BN statistics "
+                "keep shifting that grid under it. Folding first and "
+                "quantizing the exact deploy weights (PTQ) matches the "
+                "deployed numerics by construction."
             )
             resnet_kwargs = {}
             if "full_decoder" in arch:
