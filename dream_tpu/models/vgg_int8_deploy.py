@@ -9,7 +9,12 @@ directly on int8 between blocks.  Convs outside the kernel:
 
 - ``down1`` (conv0 has 3 input channels; conv1 is 64->64 at 400x400, where
   padding both lane dims to Mosaic's 128-multiple int8-matmul contract
-  would 4x its FLOPs) runs on the plain XLA int8 conv, pooling included,
+  would 4x its FLOPs) runs in plain bf16, pooling included.  int8 buys
+  nothing there (12.3 of 140 GFLOPs) and XLA's int8 conv at 400x400
+  materializes its s32[B,400,400,64] accumulator plus a same-size layout
+  copy — 14.65 G of HBM at b=128 (probed r4: OOMs the 15.75 G chip) and
+  ~24 ms of pure HBM copy traffic per batch.  bf16 down1 is also strictly
+  closer to the float reference.
 - ``head.conv1`` re-uses the XLA int8 conv because its consumer
   (``head.conv2``) is the float belief-map output layer and has no
   calibrated activation scale to requantize against,
@@ -122,23 +127,6 @@ def _lane128(c: int) -> int:
     return 128 * (-(-c // 128))
 
 
-def _xla_int8_conv(x_q, s_x, kernel, bias, s_out, relu=True):
-    """Plain-XLA int8 conv emitting int8 at the consumer's scale ``s_out``."""
-    w_q, s_w = _quantize_weights(kernel)
-    y = lax.conv_general_dilated(
-        x_q, w_q, window_strides=(1, 1), padding=((1, 1), (1, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.int32,
-    )
-    yf = y.astype(jnp.float32) * (s_x * s_w) + bias.astype(jnp.float32)
-    if relu:
-        yf = jnp.maximum(yf, 0.0)
-        lo = 0
-    else:
-        lo = -127
-    return jnp.clip(jnp.round(yf / s_out), lo, 127).astype(jnp.int8)
-
-
 def supports(model) -> bool:
     """The fused chain covers the single-stage upsample-decoder hourglass
     (vgg-Q: quarter-res decoder, no skips, no full_output, 3-ch input)."""
@@ -168,26 +156,29 @@ def vgg_q_int8_infer(params, qvars, net_in, *, dtype=jnp.bfloat16,
     def amax_scale(block, conv):
         return jnp.maximum(_amax(qvars, block, conv), 1e-12) / 127.0
 
-    # XLA prologue: down1 (conv0 has 3 input channels, conv1 would need 4x
-    # lane padding — both below the kernel's 128-lane contract) + pool,
-    # emitting int8 at down2.conv0's calibrated scale.
-    s_x0 = amax_scale("down1", "conv0")
-    x_q = jnp.clip(jnp.round(net_in.astype(jnp.float32) / s_x0), -127, 127
-                   ).astype(jnp.int8)
-    x_q = _xla_int8_conv(
-        x_q, s_x0,
-        params["down1"]["conv0"]["kernel"], params["down1"]["conv0"]["bias"],
-        amax_scale("down1", "conv1"),
-    )
-    x_q = _xla_int8_conv(
-        x_q, amax_scale("down1", "conv1"),
-        params["down1"]["conv1"]["kernel"], params["down1"]["conv1"]["bias"],
-        amax_scale("down2", "conv0"),
-    )
-    x_q = lax.reduce_window(
-        x_q, jnp.int8(-128), lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
+    # bf16 prologue: down1 + pool in bf16 (see module docstring — int8 at
+    # 400x400 OOMs/thrashes HBM on the s32 accumulator), then quantize the
+    # pooled activation once at down2.conv0's calibrated scale.
+    def _bf16_conv(x, kernel, bias):
+        y = lax.conv_general_dilated(
+            x, kernel.astype(jnp.bfloat16), window_strides=(1, 1),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return jnp.maximum(y + bias.astype(jnp.bfloat16), 0)
+
+    x = net_in.astype(jnp.bfloat16)
+    x = _bf16_conv(x, params["down1"]["conv0"]["kernel"],
+                   params["down1"]["conv0"]["bias"])
+    x = _bf16_conv(x, params["down1"]["conv1"]["kernel"],
+                   params["down1"]["conv1"]["bias"])
+    x = lax.reduce_window(
+        x, jnp.bfloat16(-jnp.inf), lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
         ((0, 0),) * 4,
     )
+    s_q = amax_scale("down2", "conv0")
+    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s_q), -127, 127
+                   ).astype(jnp.int8)
     cur_h, cur_w = h // 2, w // 2
 
     # Pallas chain (lane-padded to the kernel's 128-multiple contract).

@@ -58,12 +58,16 @@ def test_fused_chain_tracks_xla_int8_and_float(calibrated):
     )
     assert got.shape == ref_int8.shape
 
-    # Same int8 grids end to end; differences come only from the XLA path's
-    # extra bf16 round trips between convs (<= ~1 int8 step on few elements).
+    # Same int8 grids from down2 onward; the fused chain additionally runs
+    # down1 in bf16 instead of int8 (vgg_int8_deploy.py module docstring —
+    # the XLA int8 conv at 400x400 OOMs HBM at b=128), so the two paths
+    # differ by down1's quantization error plus the XLA path's bf16 round
+    # trips.  Measured q99 ~0.041 / max ~0.068 (both paths stay within the
+    # same fidelity-to-float gate below, corr 0.9990 each).
     scale = np.abs(ref_int8).max() + 1e-9
     delta = np.abs(got - ref_int8) / scale
-    assert np.quantile(delta, 0.99) < 0.02, np.quantile(delta, 0.99)
-    assert delta.max() < 0.1, delta.max()
+    assert np.quantile(delta, 0.99) < 0.06, np.quantile(delta, 0.99)
+    assert delta.max() < 0.12, delta.max()
 
     # And the same fidelity-to-float gate the XLA int8 path is held to.
     ref_float = np.asarray(model.apply(variables, x)[-1], np.float64)
