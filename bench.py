@@ -168,6 +168,7 @@ def main():
     int8_fps = 0.0
     int8_trials = []
     int8_impl = "none"
+    race_fps = {}
     try:
         import dataclasses
 
@@ -207,19 +208,28 @@ def main():
 
         b8 = max(results, key=results.get) if results else 128
         frames8 = batches[b8]
-        # Fused Pallas int8 conv chain first (ops/pallas_conv.py); any
-        # Mosaic failure falls back to the XLA QuantConv graph so the int8
-        # capture survives either way.
-        variants = (
+        # Race both int8 implementations — the XLA QuantConv graph and the
+        # fused Pallas conv chain (ops/pallas_conv.py) — with one short
+        # timed trial each, then run the full capture on the faster one.
+        # Measured r4 at b=128: XLA 1603 fps vs Pallas chain 603 fps (the
+        # hand kernel loses to XLA's int8 convs at production batch), so
+        # never assume an implementation order; measure it.  A compile
+        # failure in either candidate is recorded and the other wins.
+        variants = [("xla", False)] + (
             [("pallas", True)] if pallas_supports(model) else []
-        ) + [("xla", False)]
-        infer_int8 = None
+        )
+        infer_int8, race_fps = None, {}
         for impl_name, use_pallas in variants:
             try:
                 candidate = make_infer_int8(use_pallas)
                 sync(candidate(variables["params"], frames8))  # warm/compile
-                infer_int8, int8_impl = candidate, impl_name
-                break
+                fps = _timed_trials(
+                    lambda: candidate(variables["params"], frames8),
+                    sync, b8, 8, n_trials=1,
+                )[0]
+                race_fps[impl_name] = round(fps, 1)
+                if infer_int8 is None or fps > race_fps[int8_impl]:
+                    infer_int8, int8_impl = candidate, impl_name
             except Exception as exc:
                 anomalies.append(
                     {"reason": f"int8 {impl_name} compile failed: {exc}"[:200]}
@@ -431,6 +441,7 @@ def main():
                     "variant_fps": variant_fps,
                     "int8_fps_median": round(int8_fps, 2),
                     "int8_impl": int8_impl,
+                    "int8_impl_race_fps": race_fps,
                     "int8_trials_fps": [round(t, 1) for t in int8_trials],
                     "train_step_imgs_per_sec": round(train_fps, 1),
                     "train_step_batch": TRAIN_B,
