@@ -168,6 +168,7 @@ def main():
     int8_fps = 0.0
     int8_trials = []
     int8_impl = "none"
+    int8_batch = 0
     race_fps = {}
     try:
         import dataclasses
@@ -189,18 +190,20 @@ def main():
         )(variables["params"], qvars, calib_in)
         qvars = mut["quant"]
 
-        def make_infer_int8(use_pallas):
+        def make_infer_int8(impl):
             @jax.jit
             def infer_int8(params, raw_uint8):
                 net_in = preprocess_and_normalize(
                     raw_uint8, (400, 400), "shrink-and-crop", norm
                 )
-                if use_pallas:
-                    belief_nhwc = vgg_q_int8_infer(params, qvars, net_in)
-                else:
+                if impl == "quantconv":
                     belief_nhwc = int8_model.apply(
                         {"params": params, "quant": qvars}, net_in
                     )[-1]
+                else:  # fused-requant chain, Pallas or XLA convs
+                    belief_nhwc = vgg_q_int8_infer(
+                        params, qvars, net_in, backend=impl
+                    )
                 belief = jnp.moveaxis(belief_nhwc, -1, 1)
                 kps, _ = keypoints_from_belief_maps(belief, 0.4395)
                 return kps
@@ -208,20 +211,22 @@ def main():
 
         b8 = max(results, key=results.get) if results else 128
         frames8 = batches[b8]
-        # Race both int8 implementations — the XLA QuantConv graph and the
-        # fused Pallas conv chain (ops/pallas_conv.py) — with one short
-        # timed trial each, then run the full capture on the faster one.
-        # Measured r4 at b=128: XLA 1603 fps vs Pallas chain 603 fps (the
-        # hand kernel loses to XLA's int8 convs at production batch), so
-        # never assume an implementation order; measure it.  A compile
-        # failure in either candidate is recorded and the other wins.
-        variants = [("xla", False)] + (
-            [("pallas", True)] if pallas_supports(model) else []
+        # Race the int8 implementations — the XLA QuantConv graph (every
+        # conv int8, dequant between convs), the XLA fused-requant chain
+        # (bf16 down1, int8 activations end-to-end between convs), and the
+        # fused Pallas conv chain (ops/pallas_conv.py) — one short timed
+        # trial each, then run the full capture on the fastest.  Measured
+        # r4 at b=128: QuantConv 1603 fps vs Pallas chain 603 fps (the hand
+        # kernel loses to XLA's int8 convs at production batch), so never
+        # assume an implementation order; measure it.  A compile failure in
+        # any candidate is recorded and the others race on.
+        variants = ["quantconv"] + (
+            ["xla", "pallas"] if pallas_supports(model) else []
         )
         infer_int8, race_fps = None, {}
-        for impl_name, use_pallas in variants:
+        for impl_name in variants:
             try:
-                candidate = make_infer_int8(use_pallas)
+                candidate = make_infer_int8(impl_name)
                 sync(candidate(variables["params"], frames8))  # warm/compile
                 fps = _timed_trials(
                     lambda: candidate(variables["params"], frames8),
@@ -235,11 +240,31 @@ def main():
                     {"reason": f"int8 {impl_name} compile failed: {exc}"[:200]}
                 )
         assert infer_int8 is not None, "all int8 implementations failed"
+        # The int8 stack is compute-bound (profile_breakdown r4: model 0.534
+        # of 0.620 ms/frame e2e), so a larger batch can amortize dispatch +
+        # decode overheads past the bf16-optimal batch.  Probe b=256 with
+        # one guarded trial and capture at whichever batch wins.
+        if b8 < 256:
+            try:
+                frames256 = jnp.concatenate([frames8] * (512 // b8))[:256]
+                sync(infer_int8(variables["params"], frames256))
+                fps256 = _timed_trials(
+                    lambda: infer_int8(variables["params"], frames256),
+                    sync, 256, 8, n_trials=1,
+                )[0]
+                race_fps[f"{int8_impl}_b256"] = round(fps256, 1)
+                if fps256 > race_fps[int8_impl]:
+                    b8, frames8 = 256, frames256
+            except Exception as exc:
+                anomalies.append(
+                    {"reason": f"int8 b=256 probe failed: {exc}"[:200]}
+                )
         n_iters = max(MIN_DISPATCHES, int(2048 // b8))
         int8_trials = _timed_trials(
             lambda: infer_int8(variables["params"], frames8), sync, b8, n_iters
         )
         int8_fps = float(np.median(int8_trials))
+        int8_batch = b8
     except Exception as exc:
         anomalies.append({"reason": f"int8 capture failed: {exc}"[:200]})
 
@@ -441,6 +466,7 @@ def main():
                     "variant_fps": variant_fps,
                     "int8_fps_median": round(int8_fps, 2),
                     "int8_impl": int8_impl,
+                    "int8_batch": int8_batch,
                     "int8_impl_race_fps": race_fps,
                     "int8_trials_fps": [round(t, 1) for t in int8_trials],
                     "train_step_imgs_per_sec": round(train_fps, 1),

@@ -143,13 +143,29 @@ def supports(model) -> bool:
 
 
 def vgg_q_int8_infer(params, qvars, net_in, *, dtype=jnp.bfloat16,
-                     interpret: bool = False):
+                     backend: str = "pallas", interpret: bool = False):
     """int8 inference: normalized f32 net input -> f32 belief maps (NHWC).
 
     ``params``/``qvars`` are the float param tree and the calibrated
     ``quant`` collection from ``quant_mode='calibrate'`` passes (identical
     trees to the XLA int8 path — no new checkpoint or calibration format).
+
+    ``backend`` selects the conv implementation for the chained segment:
+
+    - ``"pallas"``: the fused Mosaic kernel (ops/pallas_conv.py) with its
+      halo layout and 128-lane padding;
+    - ``"xla"``: XLA's native int8 convs with the same fused-requant
+      epilogue (i32 accumulate -> per-channel scale + bias -> ReLU ->
+      round/clip -> int8), so activations stay int8 in HBM between convs
+      with no lane padding and no bf16 round trips.  Unlike the QuantConv
+      graph (models/quant.py), the producer emits int8 directly instead of
+      dequantizing to the compute dtype and re-quantizing in the consumer.
+
+    Both backends share the chain/prologue/head structure and produce the
+    same int8 taps and int32 accumulations; they differ only in <=1-int8-step
+    rounding of the requantized intermediates.
     """
+    assert backend in ("pallas", "xla"), backend
     bsz, h, w, _ = net_in.shape
     assert h % 16 == 0 and w % 16 == 0, (h, w)
 
@@ -181,16 +197,8 @@ def vgg_q_int8_infer(params, qvars, net_in, *, dtype=jnp.bfloat16,
                    ).astype(jnp.int8)
     cur_h, cur_w = h // 2, w // 2
 
-    # Pallas chain (lane-padded to the kernel's 128-multiple contract).
-    xp = pc.pad_activation(_pad_lanes(x_q, _lane128(x_q.shape[-1])))
-    for idx, (block, conv, relu) in enumerate(_CHAIN):
-        pre = _PRE.get((block, conv))
-        if pre == "pool":
-            xp, cur_h, cur_w = _pool2_int8(xp, cur_h, cur_w)
-        elif pre == "up":
-            xp, cur_h, cur_w = _up2_int8(xp, cur_h, cur_w)
-        kernel = params[block][conv]["kernel"]
-        bias = params[block][conv]["bias"]
+    def chain_scales(idx, block, conv, kernel, bias):
+        """(w_q, kvec, bvec) with the consumer's requant scale folded in."""
         w_q, s_w = _quantize_weights(kernel)
         s_x = amax_scale(block, conv)
         if idx + 1 < len(_CHAIN):
@@ -198,21 +206,72 @@ def vgg_q_int8_infer(params, qvars, net_in, *, dtype=jnp.bfloat16,
         else:
             nb_block, nb_conv = "head", "conv1"
         s_out = jnp.maximum(_amax(qvars, nb_block, nb_conv), 1e-12) / 127.0
-        ci, co = kernel.shape[2], kernel.shape[3]
-        ci_p, co_p = _lane128(ci), _lane128(co)
-        w9 = pc.pack_weights(
-            _pad_lanes(jnp.pad(w_q, ((0, 0), (0, 0), (0, ci_p - ci), (0, 0))),
-                       co_p)
-        )
-        kvec = _pad_lanes((s_x * s_w / s_out).astype(jnp.float32), co_p)
-        bvec = _pad_lanes(bias.astype(jnp.float32) / s_out, co_p)
-        xp = pc.conv3x3_int8(
-            xp, w9, kvec, bvec,
-            h=cur_h, w=cur_w, relu=relu, interpret=interpret,
-        )
+        kvec = (s_x * s_w / s_out).astype(jnp.float32)
+        bvec = bias.astype(jnp.float32) / s_out
+        return w_q, kvec, bvec
+
+    if backend == "xla":
+        # XLA int8 chain: native int8 convs with the requant epilogue fused
+        # behind each conv, int8 activations (and int8 pool/upsample)
+        # between convs.
+        for idx, (block, conv, relu) in enumerate(_CHAIN):
+            pre = _PRE.get((block, conv))
+            if pre == "pool":
+                x_q = lax.reduce_window(
+                    x_q, jnp.int8(-128), lax.max,
+                    (1, 2, 2, 1), (1, 2, 2, 1), ((0, 0),) * 4,
+                )
+                cur_h, cur_w = cur_h // 2, cur_w // 2
+            elif pre == "up":
+                b_, c_ = x_q.shape[0], x_q.shape[-1]
+                x_q = jnp.broadcast_to(
+                    x_q[:, :, None, :, None, :],
+                    (b_, cur_h, 2, cur_w, 2, c_),
+                ).reshape(b_, cur_h * 2, cur_w * 2, c_)
+                cur_h, cur_w = cur_h * 2, cur_w * 2
+            w_q, kvec, bvec = chain_scales(
+                idx, block, conv,
+                params[block][conv]["kernel"], params[block][conv]["bias"],
+            )
+            y = lax.conv_general_dilated(
+                x_q, w_q, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            )
+            yf = y.astype(jnp.float32) * kvec + bvec
+            if relu:
+                yf = jnp.maximum(yf, 0.0)
+            x_q = jnp.clip(jnp.round(yf), -127.0, 127.0).astype(jnp.int8)
+    else:
+        # Pallas chain (lane-padded to the kernel's 128-multiple contract).
+        xp = pc.pad_activation(_pad_lanes(x_q, _lane128(x_q.shape[-1])))
+        for idx, (block, conv, relu) in enumerate(_CHAIN):
+            pre = _PRE.get((block, conv))
+            if pre == "pool":
+                xp, cur_h, cur_w = _pool2_int8(xp, cur_h, cur_w)
+            elif pre == "up":
+                xp, cur_h, cur_w = _up2_int8(xp, cur_h, cur_w)
+            kernel = params[block][conv]["kernel"]
+            w_q, kvec, bvec = chain_scales(
+                idx, block, conv, kernel, params[block][conv]["bias"],
+            )
+            ci, co = kernel.shape[2], kernel.shape[3]
+            ci_p, co_p = _lane128(ci), _lane128(co)
+            w9 = pc.pack_weights(
+                _pad_lanes(
+                    jnp.pad(w_q, ((0, 0), (0, 0), (0, ci_p - ci), (0, 0))),
+                    co_p,
+                )
+            )
+            xp = pc.conv3x3_int8(
+                xp, w9, _pad_lanes(kvec, co_p), _pad_lanes(bvec, co_p),
+                h=cur_h, w=cur_w, relu=relu, interpret=interpret,
+            )
+        xp = pc.unpad_activation(xp, cur_h, cur_w)
+        x_q = xp
 
     n_head = params["head"]["conv0"]["kernel"].shape[-1]
-    x_q = pc.unpad_activation(xp, cur_h, cur_w)[..., :n_head]
+    x_q = x_q[..., :n_head]
 
     # head.conv1 in XLA int8 (consumer is the float output conv).
     k1 = params["head"]["conv1"]["kernel"]

@@ -833,26 +833,47 @@ class DreamNetwork:
         self._int8_params = int8_params
         self._int8_model = int8_model
 
-        # Fused Pallas int8 conv chain (ops/pallas_conv.py) for the
-        # single-stage vgg upsample-decoder stack on TPU: int8 activations
-        # stay int8 between convs with the requant folded into each conv's
-        # epilogue.  Same params + calibration tree; kill switch
-        # DREAM_INT8_PALLAS=0 reverts to the XLA QuantConv graph.
+        # Three int8 graph implementations share the same params +
+        # calibration tree (models/vgg_int8_deploy.py, models/quant.py):
+        #
+        # - 'xla_chain': bf16 down1 prologue, then XLA int8 convs with the
+        #   requant fused behind each conv so activations stay int8 in HBM
+        #   between convs (no bf16 round trips, no Mosaic lane padding);
+        # - 'quantconv': the QuantConv graph — every conv int8 (down1
+        #   included) with dequant-to-compute-dtype between convs;
+        # - 'pallas': the fused Mosaic kernel chain (ops/pallas_conv.py).
+        #
+        # Default 'auto' picks 'xla_chain' when the architecture qualifies
+        # (bench.py races all three each capture; r4 b=128 measured
+        # QuantConv 1603 fps vs Pallas chain 603 — the chain structure wins
+        # through XLA's own int8 convs, not the hand kernel).  Override with
+        # the DREAM_INT8_IMPL env var; DREAM_INT8_PALLAS=0 is honored as
+        # 'quantconv' for back-compat.
         from dream_tpu.models import vgg_int8_deploy
 
-        use_pallas = (
+        chain_ok = (
             self.architecture_type == "vgg"
             and vgg_int8_deploy.supports(self.model)
             and jax.default_backend() == "tpu"
-            and os.environ.get("DREAM_INT8_PALLAS", "1") != "0"
         )
+        impl = os.environ.get("DREAM_INT8_IMPL", "auto")
+        if os.environ.get("DREAM_INT8_PALLAS", "1") == "0" and impl == "auto":
+            impl = "quantconv"
+        assert impl in ("auto", "xla_chain", "quantconv", "pallas"), impl
+        if impl == "auto":
+            impl = "xla_chain" if chain_ok else "quantconv"
+        if impl in ("xla_chain", "pallas") and not chain_ok:
+            impl = "quantconv"
         compute_dtype = self.compute_dtype
 
-        if use_pallas:
+        if impl in ("xla_chain", "pallas"):
+            chain_backend = "xla" if impl == "xla_chain" else "pallas"
+
             def apply_int8(params, net_input):
                 return [
                     vgg_int8_deploy.vgg_q_int8_infer(
-                        params, qvars, net_input, dtype=compute_dtype
+                        params, qvars, net_input, dtype=compute_dtype,
+                        backend=chain_backend,
                     )
                 ]
         else:
@@ -860,6 +881,7 @@ class DreamNetwork:
                 return int8_model.apply(
                     {"params": params, "quant": qvars}, net_input
                 )
+        self._int8_impl = impl
 
         offset = self.peak_offset_due_to_upsampling()
         use_scores = self.use_belief_peak_scores

@@ -102,6 +102,11 @@ def main():
         "model int8 pallas (fused conv chain)": jax.jit(
             lambda x: jnp.sum(_pallas_int8(variables["params"], qvars, x))
         ),
+        "model int8 xla chain (fused requant)": jax.jit(
+            lambda x: jnp.sum(
+                _pallas_int8(variables["params"], qvars, x, backend="xla")
+            )
+        ),
         "decode (belief -> keypoints)": jax.jit(
             lambda b: jnp.sum(keypoints_from_belief_maps(b, 0.4395)[0])
         ),
@@ -111,6 +116,7 @@ def main():
         "model bf16 (net_in -> belief)": net_in,
         "model int8 (net_in -> belief)": net_in,
         "model int8 pallas (fused conv chain)": net_in,
+        "model int8 xla chain (fused requant)": net_in,
         "decode (belief -> keypoints)": belief,
     }
 
@@ -145,11 +151,19 @@ def main():
         b = jnp.moveaxis(_pallas_int8(p, qvars, x), -1, 1)
         return keypoints_from_belief_maps(b, 0.4395)[0]
 
+    @jax.jit
+    def e2e_int8_xla_chain(p, r):
+        x = preprocess_and_normalize(r, (400, 400), "shrink-and-crop", norm)
+        b = jnp.moveaxis(_pallas_int8(p, qvars, x, backend="xla"), -1, 1)
+        return keypoints_from_belief_maps(b, 0.4395)[0]
+
     for name, fn in (
         ("e2e bf16", lambda: e2e_bf16(variables, raw)),
         ("e2e int8 (xla convs)", lambda: e2e_int8(variables["params"], raw)),
         ("e2e int8 (pallas fused convs)",
          lambda: e2e_int8_pallas(variables["params"], raw)),
+        ("e2e int8 (xla fused-requant chain)",
+         lambda: e2e_int8_xla_chain(variables["params"], raw)),
     ):
         try:
             dt = timed(fn)
@@ -163,7 +177,8 @@ def main():
     # and int8 model graphs — if int8's HBM traffic exceeds bf16's, the int8
     # stack is memory-bound on the int32 conv-output round trips (the
     # quantize/dequantize chains), not compute-bound.
-    for name in ("model bf16 (net_in -> belief)", "model int8 (net_in -> belief)"):
+    for name in ("model bf16 (net_in -> belief)", "model int8 (net_in -> belief)",
+                 "model int8 xla chain (fused requant)"):
         try:
             ca = stages[name].lower(args[name]).compile().cost_analysis()
             if isinstance(ca, (list, tuple)):

@@ -76,3 +76,36 @@ def test_fused_chain_tracks_xla_int8_and_float(calibrated):
 
     cc = np.corrcoef(got.ravel(), ref_float.ravel())[0, 1]
     assert cc > 0.99, cc
+
+
+def test_xla_chain_matches_pallas_chain(calibrated):
+    """backend='xla' shares the prologue/chain/head structure and requant
+    math with the Pallas kernel — same int8 taps, int32 accumulation, and
+    per-channel folded scales — so the two backends must agree to ~1 int8
+    requant step everywhere."""
+    model, variables, qvars, x = calibrated
+
+    got_pallas = np.asarray(
+        vgg_q_int8_infer(
+            variables["params"], qvars, x, dtype=jnp.float32, interpret=True
+        ),
+        np.float64,
+    )
+    got_xla = np.asarray(
+        vgg_q_int8_infer(
+            variables["params"], qvars, x, dtype=jnp.float32, backend="xla"
+        ),
+        np.float64,
+    )
+    assert got_xla.shape == got_pallas.shape
+    scale = np.abs(got_pallas).max() + 1e-9
+    delta = np.abs(got_xla - got_pallas) / scale
+    assert np.quantile(delta, 0.99) < 0.02, np.quantile(delta, 0.99)
+    assert delta.max() < 0.05, delta.max()
+
+    # Held to the same fidelity-to-float gate as both existing paths.
+    ref_float = np.asarray(model.apply(variables, x)[-1], np.float64)
+    rel = np.abs(got_xla - ref_float) / (np.abs(ref_float).max() + 1e-9)
+    assert rel.max() < 0.15, rel.max()
+    cc = np.corrcoef(got_xla.ravel(), ref_float.ravel())[0, 1]
+    assert cc > 0.99, cc
