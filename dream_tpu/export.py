@@ -70,11 +70,26 @@ def build_raw_inference_fn(dream_network, raw_resolution: Tuple[int, int]):
     gap = net.belief_peak_next_best_score
 
     if getattr(net, "_int8_model", None) is not None:
-        int8_model = net._int8_model
-        int8_vars = {"params": net._int8_params, "quant": net._int8_quant_vars}
+        # Serialize the SAME int8 graph implementation the live path
+        # selected (QuantConv / XLA fused-requant chain / Pallas chain —
+        # see enable_int8_inference); fall back to the QuantConv graph for
+        # nets quantized before the selector existed.
+        int8_params = net._int8_params
+        int8_apply = getattr(net, "_int8_apply", None)
+        # A Pallas-chain selection is NOT serialized (Mosaic custom calls
+        # are not portable StableHLO); artifacts then carry the QuantConv
+        # graph instead, matching the artifact's cross-platform contract.
+        if getattr(net, "_int8_impl", None) == "pallas":
+            int8_apply = None
+        if int8_apply is not None:
+            def apply_model(net_in):
+                return int8_apply(int8_params, net_in)
+        else:
+            int8_model = net._int8_model
+            int8_vars = {"params": int8_params, "quant": net._int8_quant_vars}
 
-        def apply_model(net_in):
-            return int8_model.apply(int8_vars, net_in)
+            def apply_model(net_in):
+                return int8_model.apply(int8_vars, net_in)
 
     else:
         variables = net.variables

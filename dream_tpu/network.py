@@ -882,6 +882,9 @@ class DreamNetwork:
                     {"params": params, "quant": qvars}, net_input
                 )
         self._int8_impl = impl
+        # Exposed for export.py so AOT artifacts serialize the SAME int8
+        # graph implementation the live path selected.
+        self._int8_apply = apply_int8
 
         offset = self.peak_offset_due_to_upsampling()
         use_scores = self.use_belief_peak_scores

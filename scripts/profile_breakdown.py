@@ -200,6 +200,82 @@ def main():
     print(f"{'e2e int8 b=256':45s} {dt / 256 * 1e3:7.3f} ms/frame  "
           f"{256 / dt:8.1f} fps", flush=True)
 
+    # ---- training-step breakdown (b=32, the production recipe batch) ----
+    # Times the pieces of the fused train step as separate dispatches so the
+    # remaining cost past the warp fix is attributable: batch processor
+    # (preproc + augment + GT belief maps), forward + loss, and the full
+    # fused step (fwd + bwd + adam).  Sums exceed the fused step (separate
+    # dispatches pay HBM between stages) — upper bounds per stage.
+    from dream_tpu.data import make_batch_processor
+    from dream_tpu.network import create_network_from_config_data
+
+    arch_config = {
+        "architecture": {
+            "type": "vgg", "target": "belief_maps",
+            "input_heads": ["image_rgb"], "output_heads": ["belief_maps"],
+            "image_normalization": norm, "loss": {"type": "mse"},
+            "image_preprocessing": "shrink-and-crop",
+            "compute_dtype": "bfloat16",
+        },
+        "manipulator": {
+            "name": "panda",
+            "keypoints": [
+                {"name": f"kp{i}", "friendly_name": f"kp{i}"} for i in range(7)
+            ],
+        },
+        "training": {
+            "config": {
+                "image_preprocessing": "shrink-and-crop",
+                "net_input_resolution": [400, 400],
+                "optimizer": {"type": "adam", "learning_rate": 1.5e-4},
+            },
+            "platform": {}, "results": {},
+        },
+    }
+    tnet = create_network_from_config_data(arch_config)
+    tnet.init_variables(seed=0)
+    process = make_batch_processor(
+        (640, 480), (400, 400), (100, 100), "shrink-and-crop", norm,
+        augment=True, include_belief_maps=True,
+    )
+    tnet.enable_fused_training(process)
+    TB = 32
+    traw = jnp.asarray(rng.randint(0, 255, size=(TB, 480, 640, 3), dtype=np.uint8))
+    tkp = jnp.asarray(rng.rand(TB, 7, 2).astype(np.float32) * [[640.0, 480.0]])
+    tkey = jax.random.PRNGKey(7)
+
+    @jax.jit
+    def proc_once(k, im, kp):
+        out = process(k, im, kp)
+        return jnp.sum(out["belief_maps"]) + jnp.sum(
+            out["image_rgb_input"].astype(jnp.float32)
+        )
+
+    @jax.jit
+    def fwd_once(k, im, kp):
+        out = process(k, im, kp)
+        pred = tnet.apply_model(
+            tnet.variables, out["image_rgb_input"], train=True
+        )[0][-1]
+        target = jnp.moveaxis(out["belief_maps"], 1, -1)
+        return jnp.mean((pred.astype(jnp.float32) - target) ** 2)
+
+    print(f"\n-- train-step breakdown (b={TB}, ms/batch) --", flush=True)
+    for name, fn in (
+        ("process (preproc+augment+GT maps)",
+         lambda: proc_once(tkey, traw, tkp)),
+        ("process + forward + loss", lambda: fwd_once(tkey, traw, tkp)),
+        ("full fused step (fwd+bwd+adam)",
+         lambda: tnet.train_raw(tkey, traw, tkp)),
+    ):
+        try:
+            dt = timed(fn, n_iters=8)
+        except Exception as exc:
+            print(f"{name:38s} FAILED: {exc}"[:200], flush=True)
+            continue
+        print(f"{name:38s} {dt * 1e3:8.2f} ms/batch  "
+              f"({TB / dt:6.1f} imgs/s)", flush=True)
+
     # ---- Pallas warp kernel precision sweep (training augmentation) ----
     from dream_tpu.ops.pallas_warp import warp_batch_pallas
     from dream_tpu.data import augment
