@@ -41,6 +41,28 @@ from dream_tpu.ops import coords as coord_ops
 from dream_tpu.ops import image_proc as image_proc_ops
 
 
+def serialized_int8_impl(dream_network) -> Optional[str]:
+    """Which int8 graph an exported artifact for this network carries.
+
+    Matches the live selection (``DreamNetwork._int8_impl``) except that a
+    live 'pallas' selection serializes as 'xla_chain': Mosaic custom calls
+    are not portable StableHLO, and the XLA fused-requant chain is
+    numerically closest to the live pallas path (they share the chain
+    structure and differ by <=1 int8 step per
+    tests/test_vgg_int8_deploy.py), unlike the QuantConv graph whose down1
+    runs with bf16 round trips.
+    """
+    if getattr(dream_network, "_int8_model", None) is None:
+        return None
+    impl = getattr(dream_network, "_int8_impl", None)
+    if impl == "pallas":
+        return "xla_chain"
+    if impl in ("xla_chain", "quantconv"):
+        return impl
+    # Nets quantized before the selector existed carry the QuantConv graph.
+    return "quantconv"
+
+
 def build_raw_inference_fn(dream_network, raw_resolution: Tuple[int, int]):
     """Closure ``raw_uint8 [B, H, W, 3] -> (belief_maps, keypoints_raw)``
     with the network's weights (and int8 scales/folded params, if
@@ -69,21 +91,25 @@ def build_raw_inference_fn(dream_network, raw_resolution: Tuple[int, int]):
     use_scores = net.use_belief_peak_scores
     gap = net.belief_peak_next_best_score
 
-    if getattr(net, "_int8_model", None) is not None:
-        # Serialize the SAME int8 graph implementation the live path
-        # selected (QuantConv / XLA fused-requant chain / Pallas chain —
-        # see enable_int8_inference); fall back to the QuantConv graph for
-        # nets quantized before the selector existed.
+    export_impl = serialized_int8_impl(net)
+    if export_impl is not None:
+        # Serialize the int8 graph `serialized_int8_impl` picked: the live
+        # implementation, except a live Pallas selection is re-lowered
+        # through the XLA chain (portable StableHLO, closest numerics).
         int8_params = net._int8_params
-        int8_apply = getattr(net, "_int8_apply", None)
-        # A Pallas-chain selection is NOT serialized (Mosaic custom calls
-        # are not portable StableHLO); artifacts then carry the QuantConv
-        # graph instead, matching the artifact's cross-platform contract.
-        if getattr(net, "_int8_impl", None) == "pallas":
-            int8_apply = None
-        if int8_apply is not None:
+        if export_impl == "xla_chain":
+            from dream_tpu.models import vgg_int8_deploy
+
+            qvars = net._int8_quant_vars
+            export_dtype = net.compute_dtype
+
             def apply_model(net_in):
-                return int8_apply(int8_params, net_in)
+                return [
+                    vgg_int8_deploy.vgg_q_int8_infer(
+                        int8_params, qvars, net_in, dtype=export_dtype,
+                        backend="xla",
+                    )
+                ]
         else:
             int8_model = net._int8_model
             int8_vars = {"params": int8_params, "quant": net._int8_quant_vars}
@@ -169,5 +195,10 @@ def artifact_metadata(
             "keypoints_raw [B, n_kp, 2] float32 (sentinel: < -999 = no detection)",
         ],
         "int8": getattr(net, "_int8_model", None) is not None,
+        # Which int8 graph the artifact actually carries ('quantconv' /
+        # 'xla_chain'; null for float artifacts) — consumers comparing
+        # against live-path numerics need to know (a live 'pallas'
+        # selection serializes as 'xla_chain').
+        "int8_impl": serialized_int8_impl(net),
         "architecture": net.network_config["architecture"]["type"],
     }

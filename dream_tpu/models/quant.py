@@ -119,14 +119,15 @@ class _QuantConvBase(nn.Module):
                 jax.lax.stop_gradient(jnp.max(jnp.abs(x32))), 1e-12
             ) / 127.0
             x_q = jnp.clip(_ste_round(x32 / s_x), -127.0, 127.0)
-            # Integer values <= 127 are exact in bfloat16 (8-bit significand)
-            # and the MXU accumulates in float32, so the compute dtype is
-            # safe here.
+            # Contract in float32: x_q/w_q are integer-valued f32 already,
+            # and a mixed bf16-input/f32-preferred conv breaks under
+            # jax.grad (the transpose conv contracts the f32 cotangent
+            # against a bf16 kernel and lax rejects the dtype mix).  QAT is
+            # a fine-tune stage, so the f32 conv cost is acceptable.
             y = jax.lax.conv_general_dilated(
-                x_q.astype(self.dtype),
-                w_q.astype(self.dtype),
+                x_q,
+                w_q,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32,
                 **conv_kwargs,
             ) * (s_x * s_w) + bias.astype(jnp.float32)
             return y.astype(self.dtype)

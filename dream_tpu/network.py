@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import functools
 import os
+import warnings
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -859,10 +860,24 @@ class DreamNetwork:
         impl = os.environ.get("DREAM_INT8_IMPL", "auto")
         if os.environ.get("DREAM_INT8_PALLAS", "1") == "0" and impl == "auto":
             impl = "quantconv"
-        assert impl in ("auto", "xla_chain", "quantconv", "pallas"), impl
+        if impl not in ("auto", "xla_chain", "quantconv", "pallas"):
+            raise ValueError(
+                f"DREAM_INT8_IMPL={impl!r}: expected one of "
+                "'auto', 'xla_chain', 'quantconv', 'pallas'."
+            )
         if impl == "auto":
             impl = "xla_chain" if chain_ok else "quantconv"
-        if impl in ("xla_chain", "pallas") and not chain_ok:
+        elif impl in ("xla_chain", "pallas") and not chain_ok:
+            # An EXPLICIT override that this architecture/backend can't honor
+            # must not be silently ignored — the user asked for a specific
+            # int8 graph and would otherwise benchmark the wrong one.
+            warnings.warn(
+                f"DREAM_INT8_IMPL={impl!r} requires the vgg-Q chain "
+                f"(vgg architecture + TPU backend); falling back to "
+                f"'quantconv' for architecture "
+                f"{self.architecture_type!r} on {jax.default_backend()!r}.",
+                stacklevel=2,
+            )
             impl = "quantconv"
         compute_dtype = self.compute_dtype
 

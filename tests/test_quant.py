@@ -176,6 +176,36 @@ def test_network_enable_int8_inference():
     b2, k2, scores, best = net.inference_detailed(jnp.zeros((1, 64, 64, 3)))
     assert scores.shape == (1, 4) and best.shape == (1, 4, 2)
 
+def test_int8_impl_env_validation(monkeypatch):
+    """DREAM_INT8_IMPL: unknown values raise (not assert — must survive
+    ``python -O``), and an explicit chain override the architecture/backend
+    can't honor warns before downgrading to quantconv instead of silently
+    benchmarking the wrong graph."""
+    import warnings as _warnings
+
+    rng = np.random.RandomState(2)
+    calib = [
+        jnp.asarray(rng.uniform(-1, 1, size=(2, 64, 64, 3)).astype(np.float32))
+    ]
+
+    monkeypatch.setenv("DREAM_INT8_IMPL", "bogus")
+    net = DreamNetwork(_vgg_config())
+    net.init_variables(seed=0)
+    with pytest.raises(ValueError, match="DREAM_INT8_IMPL"):
+        net.enable_int8_inference(calib)
+
+    # chain_ok is false on CPU, so an explicit 'xla_chain' must warn and
+    # fall back.
+    monkeypatch.setenv("DREAM_INT8_IMPL", "xla_chain")
+    net = DreamNetwork(_vgg_config())
+    net.init_variables(seed=0)
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        net.enable_int8_inference(calib)
+    assert any("falling back" in str(w.message) for w in caught)
+    assert net._int8_impl == "quantconv"
+
+
 def test_network_enable_int8_inference_resnet():
     """resnet goes through the BN-folded deploy graph (resnet_deploy.py)."""
     cfg = _vgg_config()
@@ -272,6 +302,37 @@ def test_quantconv_qat_gradients_flow_like_float():
     # Input gradient flows too (decoder convs feed earlier layers).
     g_x = jax.grad(lambda xx: loss(qat, variables["params"], xx))(x)
     assert np.all(np.isfinite(np.asarray(g_x))) and float(jnp.abs(g_x).sum()) > 0
+
+
+def test_quantconv_qat_bfloat16_gradients():
+    """Regression: qat mode under a bfloat16 compute dtype must be
+    differentiable.  The round-4 qat fine-tune crashed in the backward pass
+    because the fake-quant conv contracted bf16 inputs with
+    preferred_element_type=f32, and the transpose conv then mixed the f32
+    cotangent with the bf16 kernel (lax rejects mixed conv dtypes).  The
+    qat conv now contracts in f32 regardless of compute dtype."""
+    from dream_tpu.models.quant import QuantConvTranspose
+
+    x = jax.random.uniform(
+        jax.random.PRNGKey(7), (2, 8, 8, 3), minval=-1, maxval=1
+    ).astype(jnp.bfloat16)
+    for module in (
+        QuantConv(4, mode="qat", dtype=jnp.bfloat16),
+        QuantConvTranspose(4, mode="qat", dtype=jnp.bfloat16),
+    ):
+        variables = module.init(jax.random.PRNGKey(8), x)
+        out = module.apply(variables, x)
+        assert out.dtype == jnp.bfloat16
+
+        def loss(p):
+            return jnp.mean(
+                module.apply({"params": p}, x).astype(jnp.float32) ** 2
+            )
+
+        grads = jax.grad(loss)(variables["params"])
+        for leaf in jax.tree_util.tree_leaves(grads):
+            assert np.all(np.isfinite(np.asarray(leaf, np.float64)))
+        assert float(jnp.abs(grads["kernel"]).sum()) > 0
 
 
 def test_network_qat_training_then_int8_deploy():

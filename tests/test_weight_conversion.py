@@ -119,6 +119,56 @@ def test_hourglass_conversion_value_parity():
     np.testing.assert_allclose(f_out_nchw, t_out, atol=2e-4)
 
 
+def test_pth_file_roundtrip_through_cli(tmp_path):
+    """End-to-end against an actual torch-SERIALIZED ``.pth`` file: save a
+    reference-layout state_dict with ``torch.save``, run the converter CLI
+    (``main()``, exactly what a user invokes on a released checkpoint —
+    reference trained_models/DOWNLOAD.sh ships .pth+.yaml pairs), restore
+    the .msgpack with flax ``from_bytes`` the way
+    ``DreamNetwork.load_network_params`` does, and check inference parity
+    with the torch forward.  This covers the torch (de)serialization +
+    file-IO legs the in-memory tests above skip — after this, the only
+    unexercised step toward real-checkpoint parity is the real data itself.
+    """
+    import convert_torch_weights
+    from flax import serialization
+
+    torch.manual_seed(2)
+    tmodel = _torch_hourglass(n_keypoints=3)
+    tmodel.eval()
+    pth_path = tmp_path / "reference_ckpt.pth"
+    # Reference checkpoints are plain torch.save'd state_dicts
+    # (reference dream/network.py:608-616 torch.save(state_dict())).
+    torch.save(tmodel.state_dict(), str(pth_path))
+
+    out_path = tmp_path / "converted.msgpack"
+    argv = sys.argv
+    try:
+        sys.argv = [
+            "convert_torch_weights.py",
+            "-i", str(pth_path), "-a", "vgg", "-o", str(out_path),
+        ]
+        convert_torch_weights.main()
+    finally:
+        sys.argv = argv
+    assert out_path.exists() and out_path.stat().st_size > 0
+
+    fmodel = DreamHourglass(n_keypoints=3)
+    x = np.random.RandomState(3).rand(1, 3, 64, 64).astype(np.float32)
+    template = fmodel.init(
+        jax.random.PRNGKey(0), jnp.asarray(x.transpose(0, 2, 3, 1))
+    )
+    restored = serialization.from_bytes(template, out_path.read_bytes())
+    restored = jax.tree_util.tree_map(jnp.asarray, restored)
+
+    with torch.no_grad():
+        t_out = tmodel(torch.from_numpy(x)).numpy()
+    f_out = fmodel.apply(restored, jnp.asarray(x.transpose(0, 2, 3, 1)))[0]
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(f_out), -1, 1), t_out, atol=2e-4
+    )
+
+
 def test_dataparallel_prefix_stripped():
     tmodel = _torch_hourglass(n_keypoints=2)
     sd = {"module." + k: v for k, v in tmodel.state_dict().items()}
