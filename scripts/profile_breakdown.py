@@ -308,6 +308,87 @@ def main():
         print(f"precision={prec:8s} {dt * 1e3:8.2f} ms/batch   "
               f"max|delta| vs HIGHEST = {err:.4f} (0-255 scale)", flush=True)
 
+    # ---- per-conv int8 MXU efficiency (the int8 ceiling evidence) --------
+    # Times every conv shape in the vgg-Q int8 stack as an isolated int8
+    # contraction (int8 x int8 -> int32, the same lax.conv the deploy graphs
+    # run) and reports achieved TOPS vs the published 394 int8 TOPS peak.
+    # This names WHICH layers hold int8 MFU at ~0.66: the 400x400 stem convs
+    # (cin=3 pads to the 128-lane MXU tile; <3% peak) and the small-spatial
+    # deep blocks, vs the near-peak mid-stack convs.  bf16 contrast column
+    # shows whether int8 underperforms ITS peak more than bf16 does at the
+    # same shape.
+    print(f"\n-- per-conv int8 efficiency (b={TB}, isolated conv dispatches) "
+          "--", flush=True)
+    conv_shapes = [
+        # (label, h=w, cin, cout)  — vgg-Q encoder + upsample decoder convs
+        ("down1.conv0 400x400 3->64", 400, 3, 64),
+        ("down1.conv1 400x400 64->64", 400, 64, 64),
+        ("down2.conv0 200x200 64->128", 200, 64, 128),
+        ("down2.conv1 200x200 128->128", 200, 128, 128),
+        ("down3.conv0 100x100 128->256", 100, 128, 256),
+        ("down3.conv1-3 100x100 256->256", 100, 256, 256),
+        ("down4.conv0 50x50 256->512", 50, 256, 512),
+        ("down4.conv1-3 50x50 512->512", 50, 512, 512),
+        ("down5.conv0-3 25x25 512->512", 25, 512, 512),
+        ("upsample4.conv 50x50 512->256", 50, 512, 256),
+        ("upsample3.conv 100x100 256->64", 100, 256, 64),
+        ("head.conv0 100x100 64->32", 100, 64, 32),
+        ("head.conv2 100x100 32->7", 100, 32, 7),
+    ]
+    rng2 = np.random.RandomState(3)
+    for label, hw, cin, cout in conv_shapes:
+        x8 = jnp.asarray(
+            rng2.randint(-127, 127, size=(TB, hw, hw, cin)), jnp.int8
+        )
+        w8 = jnp.asarray(
+            rng2.randint(-127, 127, size=(3, 3, cin, cout)), jnp.int8
+        )
+        xb = x8.astype(jnp.bfloat16)
+        wb_ = w8.astype(jnp.bfloat16)
+
+        conv8 = jax.jit(lambda x, w: jnp.sum(jax.lax.conv_general_dilated(
+            x, w, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)))
+        convb = jax.jit(lambda x, w: jnp.sum(jax.lax.conv_general_dilated(
+            x, w, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)))
+        flops = 2.0 * TB * hw * hw * 9 * cin * cout
+        try:
+            dt8 = timed(lambda: conv8(x8, w8), n_iters=8)
+            dtb = timed(lambda: convb(xb, wb_), n_iters=8)
+        except Exception as exc:
+            print(f"{label:34s} FAILED: {exc}"[:160], flush=True)
+            continue
+        print(
+            f"{label:34s} int8 {dt8 * 1e3:7.3f} ms "
+            f"{flops / dt8 / 394e12 * 100:5.1f}% of 394T | "
+            f"bf16 {dtb * 1e3:7.3f} ms "
+            f"{flops / dtb / 197e12 * 100:5.1f}% of 197T",
+            flush=True,
+        )
+
+    # ---- train-step batch sweep (scanned-epoch, the bench.py headline) ---
+    # Larger batches lift backward-pass MXU efficiency; the reference's own
+    # example recipe is batch 128 (reference README.md:99).
+    print("\n-- train fused-step batch sweep (ms/batch | imgs/s) --",
+          flush=True)
+    for tb in (32, 64, 128):
+        traw_b = jnp.asarray(
+            rng.randint(0, 255, size=(tb, 480, 640, 3), dtype=np.uint8)
+        )
+        tkp_b = jnp.asarray(
+            rng.rand(tb, 7, 2).astype(np.float32) * [[640.0, 480.0]]
+        )
+        try:
+            dt = timed(lambda: tnet.train_raw(tkey, traw_b, tkp_b), n_iters=8)
+        except Exception as exc:
+            print(f"b={tb:<4d} FAILED: {exc}"[:160], flush=True)
+            continue
+        print(f"b={tb:<4d} {dt * 1e3:8.2f} ms/batch  ({tb / dt:6.1f} imgs/s)",
+              flush=True)
+
 
 if __name__ == "__main__":
     main()
