@@ -77,7 +77,7 @@ def _huber_loss(pred, target):
     return jnp.mean(jnp.where(d < 1.0, 0.5 * d * d, d - 0.5))
 
 
-def _weighted_mse_loss(pos_weight: float):
+def _weighted_mse_loss(pos_weight: float, symmetric: bool = False):
     """MSE with belief-mass-proportional pixel weights.
 
     Belief-map targets are ~99.9% zeros (a 100x100 map holds seven sigma=2
@@ -90,10 +90,29 @@ def _weighted_mse_loss(pos_weight: float):
     target reproduction) unchanged.  TPU-native training extension — select
     with ``loss: {type: weighted_mse, pos_weight: N}``; the reference default
     (``mse``) is untouched.
+
+    ``symmetric``: weight by ``max(target, stop_grad(pred))`` instead of
+    ``target`` alone, so FALSE-POSITIVE belief mass also pays ``pos_weight``x.
+    Under the target-only weighting, predicted mass where target~0 costs
+    weight 1 — at full-resolution 400x400 outputs (16x the zero-pixels of
+    vgg-Q's 100x100) that made a degenerate solution nearly free: every
+    channel emitting the same arm-region blob cluster scores within ~2e-3
+    of a perfect fit, and both round-4 F-variant runs converged to exactly
+    that (all 7 channels peaking at one location; score-gap disambiguation
+    then rejects every map -> zero detections).  The symmetric weight keeps
+    the optimum (pred==target) identical while making channel-confusion and
+    smeared blobs expensive.  Select with ``loss: {..., symmetric: true}``
+    (``--loss-sym``); the F-variant recipes use it.
     """
 
     def criterion(pred, target):
-        w = 1.0 + (pos_weight - 1.0) * jnp.clip(target, 0.0, 1.0)
+        t = jnp.clip(target, 0.0, 1.0)
+        if symmetric:
+            p = jax.lax.stop_gradient(
+                jnp.clip(pred.astype(jnp.float32), 0.0, 1.0)
+            )
+            t = jnp.maximum(t, p)
+        w = 1.0 + (pos_weight - 1.0) * t
         return jnp.sum(w * (pred - target) ** 2) / jnp.sum(w)
 
     return criterion
@@ -252,7 +271,8 @@ class DreamNetwork:
             self.criterion = _huber_loss
         elif loss_type == "weighted_mse":
             self.criterion = _weighted_mse_loss(
-                float(arch["loss"].get("pos_weight", 100.0))
+                float(arch["loss"].get("pos_weight", 100.0)),
+                symmetric=bool(arch["loss"].get("symmetric", False)),
             )
         else:
             raise AssertionError("Loss not yet implemented.")

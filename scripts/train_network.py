@@ -249,6 +249,10 @@ def train_network(args):
         architecture_config["loss"] = {
             "type": "weighted_mse", "pos_weight": args.loss_pos_weight,
         }
+        if args.loss_sym:
+            # Symmetric (false-positive-penalizing) weighting — required for
+            # the full-resolution decoders (see network._weighted_mse_loss).
+            architecture_config["loss"]["symmetric"] = True
 
     if args.compute_dtype:
         # Mixed-precision training: conv compute on the MXU in bf16, params /
@@ -766,6 +770,13 @@ def make_parser():
                              "all-zero belief-map plateau that plain MSE "
                              "suffers from random init. Default: the "
                              "architecture config's loss (reference parity).")
+    parser.add_argument("--loss-sym", action="store_true", default=False,
+                        help="With --loss-pos-weight: weight by "
+                             "max(target, stop_grad(pred)) so false-positive "
+                             "belief mass also pays the pos weight. Required "
+                             "for the full-resolution (F) decoders, whose "
+                             "400x400 outputs otherwise admit a cheap "
+                             "all-channels-identical degenerate solution.")
     parser.add_argument("--cache-device", action="store_true", default=False,
                         help="Decode the dataset once and keep it resident "
                              "in device memory; batches become device-side "

@@ -347,6 +347,45 @@ def test_weighted_mse_loss_config():
     assert wmse_zero > 10.0 * mse_zero
 
 
+def test_weighted_mse_symmetric_penalizes_false_positives():
+    """symmetric weighted_mse: identical to the target-only weighting at the
+    optimum (pred == target), but false-positive belief mass — the channel-
+    confused degenerate solution the 400x400 F-decoders fell into — pays
+    pos_weight x instead of weight 1."""
+    from dream_tpu.network import _weighted_mse_loss
+
+    pw = 50.0
+    plain = _weighted_mse_loss(pw)
+    sym = _weighted_mse_loss(pw, symmetric=True)
+
+    target = np.zeros((1, 16, 16, 2), np.float32)
+    target[0, 8, 8, 0] = 1.0
+    target[0, 4, 4, 1] = 1.0
+    t = jnp.asarray(target)
+
+    # At the optimum both are zero.
+    assert float(plain(t, t)) == 0.0 and float(sym(t, t)) == 0.0
+    # Near the optimum they agree (weights coincide where pred ~= target).
+    near = t * 0.95
+    np.testing.assert_allclose(
+        float(plain(near, t)), float(sym(near, t)), rtol=1e-4
+    )
+
+    # The degenerate union solution: each channel also carries the OTHER
+    # channel's peak.  Symmetric weighting must punish it ~pos_weight x.
+    union = jnp.asarray(
+        np.maximum(target, target[..., ::-1])
+    )
+    ratio = float(sym(union, t)) / float(plain(union, t))
+    assert ratio > 10.0, ratio
+
+    # Gradient flows toward removing the false positive (no NaNs, correct
+    # sign at the spurious peak).
+    g = jax.grad(lambda p: sym(p, t))(union)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(g[0, 4, 4, 0]) > 0.0  # spurious mass pushed down
+
+
 def test_scanned_epoch_training():
     """enable_scanned_training runs a whole epoch (lax.scan over gathers of a
     device-resident set) in one dispatch and optimizes equivalently to the
