@@ -28,14 +28,23 @@ run_eval() { # name ckpt dataset extra...
     -o "$OUT/eval_$name" --no-visualization -f "$@"
 }
 
+R5=trained_models/results_r5
 run_eval vggq_plain   "$R4/vggq/dream_vgg_q_r4.msgpack"        "$OUT/holdout_clean_64"
 run_eval resnet_clean "$R4/resnet_h/dream_resnet_h_r4.msgpack" "$OUT/holdout_clean_64"
 run_eval resnet_dr    "$R4/resnet_h/dream_resnet_h_r4.msgpack" "$OUT/holdout_dr_64"
+# Round-5 artifacts (if present): the stage-3 fine-tuned flagship and the
+# QAT-finetuned checkpoint deployed via int8 PTQ (DEMO.md round-5 table).
+[ -f "$R5/vggq/dream_vgg_q_r5.msgpack" ] && \
+  run_eval vggq_r5 "$R5/vggq/dream_vgg_q_r5.msgpack" "$OUT/holdout_clean_64"
+[ -f "$R5/vggq_qat/dream_vgg_q_qat_r5.msgpack" ] && \
+  run_eval vggq_qat_int8 "$R5/vggq_qat/dream_vgg_q_qat_r5.msgpack" \
+    "$OUT/holdout_clean_64" --int8-calibration-frames 32
 
 echo
 echo "== Summary (reference published ADD AUC: 0.792, its README.md:67)"
-for e in vggq_plain resnet_clean resnet_dr; do
+for e in vggq_plain resnet_clean resnet_dr vggq_r5 vggq_qat_int8; do
+  [ -f "$OUT/eval_$e/analysis_results.txt" ] || continue
   echo "--- $e (PCK AUC then ADD AUC)"
   grep "AUC: " "$OUT/eval_$e/analysis_results.txt" | grep -v threshold || true
 done
-echo "Committed evidence from the round-4 runs: $R4/*/eval_*/analysis_results.txt"
+echo "Committed evidence: $R4/eval_*/ and $R5/eval_*/analysis_results.txt"
