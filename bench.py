@@ -389,7 +389,7 @@ def main():
     # headline train number is the best batch, with the per-batch detail
     # recorded.  Each size's compile/run is guarded (OOM or relay failure
     # drops that size, the sweep continues).
-    N_SET = 256
+    N_SET = 512
     images_ref = jnp.asarray(
         rng.randint(0, 255, size=(N_SET, 480, 640, 3), dtype=np.uint8)
     )
@@ -403,7 +403,7 @@ def main():
     train_per_batch = {}
     train_mode = "scanned-epoch bf16 (production --cache-device path)"
     compiled = False
-    for b_train in (32, 64, 128):
+    for b_train in (32, 64, 128, 256):
         steps = N_SET // b_train
         idx = jnp.asarray(
             rng.permutation(N_SET)[: steps * b_train].reshape(steps, b_train),

@@ -72,17 +72,24 @@ _DEFAULT_DOT_PRECISION = _os.environ.get("DREAM_WARP_DOT_PRECISION", "DEFAULT")
 
 
 def _warp_plane_kernel(params_ref, in_ref, out_ref, scratch_ref, *, h, w, hp,
-                       wp, dot_precision):
-    """Warp one padded [hp, wp] plane to an [h, w] output.
+                       wp, dot_precision, n_ch):
+    """Warp one image's ``n_ch`` padded [hp, wp] planes to [h, w] outputs.
 
     params_ref (SMEM, [1, 1, 8]): inverse-affine row-major
     ``[a, b, tx, c, d, ty, 0, 0]`` with the +PAD offset folded into tx/ty:
     ``src_x = a*u + b*v + tx``, ``src_y = c*u + d*v + ty`` in padded coords.
+
+    All channels of an image share one affine, so the per-block one-hot hat
+    weight construction (the VPU-bound part: two iota/abs/max grids of
+    [WIN_COLS, 1024] and [WIN_ROWS, 1024]) is built ONCE per block and
+    applied to every channel plane (an unrolled loop of ``n_ch`` MXU dots).
+    The original per-(image, channel) grid rebuilt those weights per
+    channel, tripling the kernel's dominant cost for RGB inputs.
     """
     a = params_ref[0, 0, 0]
     b = params_ref[0, 0, 1]
     tx = params_ref[0, 0, 2]
-    c = params_ref[0, 0, 3]
+    c_ = params_ref[0, 0, 3]
     d = params_ref[0, 0, 4]
     ty = params_ref[0, 0, 5]
 
@@ -119,8 +126,8 @@ def _warp_plane_kernel(params_ref, in_ref, out_ref, scratch_ref, *, h, w, hp,
             jnp.minimum(a * u0f + b * v1f, a * u1f + b * v1f),
         ) + tx
         sy_min = jnp.minimum(
-            jnp.minimum(c * u0f + d * v0f, c * u1f + d * v0f),
-            jnp.minimum(c * u0f + d * v1f, c * u1f + d * v1f),
+            jnp.minimum(c_ * u0f + d * v0f, c_ * u1f + d * v0f),
+            jnp.minimum(c_ * u0f + d * v1f, c_ * u1f + d * v1f),
         ) + ty
         # Tile-aligned window bases (the clamp ceilings wp-WIN_COLS and
         # hp-WIN_ROWS are themselves aligned by construction of the padded
@@ -137,36 +144,42 @@ def _warp_plane_kernel(params_ref, in_ref, out_ref, scratch_ref, *, h, w, hp,
         kx0 = pl.multiple_of(kx0, 128)
         ky0 = pl.multiple_of(ky0, 8)
 
-        win = in_ref[0, 0, pl.ds(ky0, WIN_ROWS), pl.ds(kx0, WIN_COLS)]
-
         # Horizontal one-hot hat weights on the [WIN_COLS, 1024] grid; the
         # MXU contraction resamples all window rows at all pixel x's.
         src_x = a * (u0f + up_x) + b * (v0f + rp_x) + tx
         wx = jnp.maximum(
             0.0, 1.0 - jnp.abs(src_x - (kx0 + l_x).astype(jnp.float32))
         )
-        m = jnp.dot(
-            win, wx, preferred_element_type=jnp.float32,
-            precision=getattr(jax.lax.Precision, dot_precision),
-        )
-
-        # Vertical hat weights + VPU reduction over the window rows.
-        src_y = c * (u0f + up_y) + d * (v0f + rp_y) + ty
+        # Vertical hat weights (shared across channels too).
+        src_y = c_ * (u0f + up_y) + d * (v0f + rp_y) + ty
         wy = jnp.maximum(
             0.0, 1.0 - jnp.abs(src_y - (ky0 + k_y).astype(jnp.float32))
         )
-        outp = jnp.sum(wy * m, axis=0)  # [1024] = [BLOCK_ROWS * BLOCK_COLS]
 
-        # One aligned (8, 128) block store (Mosaic rejects row stores at
-        # unaligned dynamic sublane offsets).
-        scratch_ref[
-            pl.ds(pl.multiple_of(v0, BLOCK_ROWS), BLOCK_ROWS),
-            pl.ds(pl.multiple_of(u0, BLOCK_COLS), BLOCK_COLS),
-        ] = outp.reshape(BLOCK_ROWS, BLOCK_COLS)
+        # Under DEFAULT precision the planes live in VMEM as bf16 (uint8-
+        # valued — exact; and grid=(bsz,) streams n_ch planes per step, so
+        # f32 planes at b>=128 blow the 16 MB scoped-VMEM limit).  The hat
+        # weights are cast to match: 2^-8 relative rounding, the same
+        # magnitude DEFAULT's one-pass MXU already accepts.
+        wx_op = wx.astype(in_ref.dtype)
+        for ch_i in range(n_ch):
+            win = in_ref[0, ch_i, pl.ds(ky0, WIN_ROWS), pl.ds(kx0, WIN_COLS)]
+            m = jnp.dot(
+                win, wx_op, preferred_element_type=jnp.float32,
+                precision=getattr(jax.lax.Precision, dot_precision),
+            )
+            outp = jnp.sum(wy * m, axis=0)  # [1024] = [8 * 128]
+            # One aligned (8, 128) block store (Mosaic rejects row stores
+            # at unaligned dynamic sublane offsets).
+            scratch_ref[
+                ch_i,
+                pl.ds(pl.multiple_of(v0, BLOCK_ROWS), BLOCK_ROWS),
+                pl.ds(pl.multiple_of(u0, BLOCK_COLS), BLOCK_COLS),
+            ] = outp.reshape(BLOCK_ROWS, BLOCK_COLS)
         return 0
 
     jax.lax.fori_loop(0, n_rb * n_cb, block, 0)
-    out_ref[0, 0] = scratch_ref[:, :w]
+    out_ref[0] = scratch_ref[:, :, :w]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "precision"))
@@ -211,7 +224,11 @@ def warp_batch_pallas(images, affines, interpret: bool = False,
         axis=-1,
     ).astype(jnp.float32)[:, None, :]  # [B, 1, 8]
 
-    planes = jnp.moveaxis(images.astype(jnp.float32), -1, 1)  # [B, C, H, W]
+    # Plane dtype: bf16 under DEFAULT (uint8-valued images are exact in
+    # bf16's 8-bit significand; halves the VMEM band so n_ch planes fit the
+    # 16 MB scoped limit at b=128+), f32 under HIGHEST (exact-parity mode).
+    plane_dtype = jnp.float32 if precision == "HIGHEST" else jnp.bfloat16
+    planes = jnp.moveaxis(images.astype(plane_dtype), -1, 1)  # [B, C, H, W]
     padded = jnp.pad(
         planes, ((0, 0), (0, 0), (PAD, PAD), (PAD, PAD)), mode="reflect"
     )
@@ -231,22 +248,22 @@ def warp_batch_pallas(images, affines, interpret: bool = False,
 
     out = pl.pallas_call(
         functools.partial(_warp_plane_kernel, h=h, w=w, hp=hp, wp=wp,
-                          dot_precision=precision),
-        grid=(bsz, ch),
+                          dot_precision=precision, n_ch=ch),
+        grid=(bsz,),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, 8), lambda b, c: (b, 0, 0), memory_space=pltpu.SMEM
+                (1, 1, 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
-                (1, 1, hp, wp), lambda b, c: (b, c, 0, 0),
+                (1, ch, hp, wp), lambda b: (b, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, h, w), lambda b, c: (b, c, 0, 0), memory_space=pltpu.VMEM
+            (1, ch, h, w), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, ch, h, w), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((h, w_pad), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((ch, h, w_pad), jnp.float32)],
         interpret=interpret,
     )(params, padded)
 
