@@ -414,7 +414,11 @@ def main():
             return net.train_epoch_raw(step_key, images_ref, kp_ref, idx)
 
         b_compiled = False
-        for compile_attempt in range(1, MAX_ATTEMPTS + 1):
+        # b > 128 overflows HBM on a 16 GB chip (the backward activations);
+        # the remote-compile helper surfaces that as HTTP 500, so don't
+        # burn retry attempts on it — probe once.
+        n_attempts = 1 if b_train > 128 else MAX_ATTEMPTS
+        for compile_attempt in range(1, n_attempts + 1):
             try:
                 sync(epoch_once())  # warm-up / compile
                 b_compiled = True
