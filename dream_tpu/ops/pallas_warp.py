@@ -246,24 +246,36 @@ def warp_batch_pallas(images, affines, interpret: bool = False,
     )
     w_pad = pl.cdiv(w, BLOCK_COLS) * BLOCK_COLS
 
+    if precision == "HIGHEST":
+        # Exact-parity mode: f32 planes don't fit the 16 MB scoped-VMEM
+        # limit at ch planes per grid step, so keep the per-(image,
+        # channel) grid here (the one-hot rebuild cost is irrelevant for a
+        # validation mode).
+        grid = (bsz, ch)
+        ch_blk = 1
+        param_idx = lambda b, c: (b, 0, 0)
+        plane_idx = lambda b, c: (b, c, 0, 0)
+    else:
+        grid = (bsz,)
+        ch_blk = ch
+        param_idx = lambda b: (b, 0, 0)
+        plane_idx = lambda b: (b, 0, 0, 0)
+
     out = pl.pallas_call(
         functools.partial(_warp_plane_kernel, h=h, w=w, hp=hp, wp=wp,
-                          dot_precision=precision, n_ch=ch),
-        grid=(bsz,),
+                          dot_precision=precision, n_ch=ch_blk),
+        grid=grid,
         in_specs=[
+            pl.BlockSpec((1, 1, 8), param_idx, memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (1, 1, 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM
-            ),
-            pl.BlockSpec(
-                (1, ch, hp, wp), lambda b: (b, 0, 0, 0),
-                memory_space=pltpu.VMEM,
+                (1, ch_blk, hp, wp), plane_idx, memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, ch, h, w), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
+            (1, ch_blk, h, w), plane_idx, memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, ch, h, w), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((ch, h, w_pad), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((ch_blk, h, w_pad), jnp.float32)],
         interpret=interpret,
     )(params, padded)
 
